@@ -1,0 +1,161 @@
+"""Golden corpus: tokenizer / tag-info / tag-forest internals
+(reference test/Internal/**)."""
+
+from scalpel_ts_spark.core.tag_forest import TagNode, _malformed, from_tag_info
+from scalpel_ts_spark.core.tag_info import TagInfo, annotate_tags
+from scalpel_ts_spark.core.tag_spec import SelectContext, tags_to_spec
+from scalpel_ts_spark.core.tokenizer import (
+    Comment,
+    TagClose,
+    TagOpen,
+    Text,
+    canonicalize_tokens,
+    parse,
+    show_tokens,
+)
+
+
+# --- Tokenizer (test/Internal/Html/Tokenizer.test.ts) ---
+
+def test_canonicalize_tokens_drops_empty_text():
+    tokens = [
+        TagOpen("a", ()),
+        Text("\n"),
+        Text(" "),
+        Text("foo"),
+        Comment("Comment"),
+    ]
+    assert canonicalize_tokens(tokens) == [
+        TagOpen("a", ()),
+        Text("foo"),
+        Comment("Comment"),
+    ]
+
+
+def test_parse_valid_html():
+    assert parse("<body><!-- Comment --><a>foo</a></body>") == [
+        TagOpen("body", ()),
+        Comment(" Comment "),
+        TagOpen("a", ()),
+        Text("foo"),
+        TagClose("a"),
+        TagClose("body"),
+    ]
+
+
+def test_show_token():
+    tokens = [
+        TagOpen("a", (("key", "value"),)),
+        Comment(" Comment "),
+        Text("foo"),
+        TagClose("a"),
+    ]
+    assert show_tokens(tokens) == '<a key="value"><!-- Comment -->foo</a>'
+
+
+# --- TagInfo (test/Internal/Tag/TagInfo.test.ts) ---
+
+def test_annotate_tags():
+    annotated = annotate_tags(parse("<body><div>hello</div></body>"))
+    assert annotated == [
+        TagInfo(TagOpen("body", ()), 4),
+        TagInfo(TagOpen("div", ()), 2),
+        TagInfo(Text("hello"), None),
+        TagInfo(TagClose("div"), None),
+        TagInfo(TagClose("body"), None),
+    ]
+
+
+# --- TagForest (test/Internal/Tag/TagForest.test.ts) ---
+
+def test_empty_source_empty_forest():
+    assert from_tag_info(annotate_tags(parse(""))) == []
+
+
+def test_malformed_split():
+    remaining = [
+        TagNode(
+            0,
+            5,
+            [
+                TagNode(1, 4, [TagNode(2, 2, [])]),
+                TagNode(3, 4, []),
+            ],
+        )
+    ]
+    ok, bad = _malformed(2, [], remaining)
+    assert ok == []
+    assert bad == remaining
+
+
+# --- TagSpec (test/Internal/Tag/TagSpec.test.ts) ---
+
+def test_tags_to_spec():
+    tokens = parse("<div>hello</div>")
+    spec = tags_to_spec(tokens)
+    assert spec.context == SelectContext(0, False)
+    assert spec.hierarchy == [TagNode(0, 2, [TagNode(1, 1, [])])]
+    assert spec.tags == annotate_tags(tokens)
+
+
+# --- engine-specific tokenizer pins (behaviors the golden corpus
+#     relies on implicitly) ---
+
+def test_self_closing_suppresses_close():
+    assert parse("<img src='x' />") == [TagOpen("img", (("src", "x"),))]
+
+
+def test_void_element_no_close():
+    assert parse("<img src='x'>") == [TagOpen("img", (("src", "x"),))]
+
+
+def test_unquoted_attr_value_ends_at_slash():
+    assert parse("<a key1=foo/>") == [TagOpen("a", (("key1", "foo"),))]
+
+
+def test_eof_closes_emitted_lifo():
+    assert parse("<a>foo") == [TagOpen("a", ()), Text("foo"), TagClose("a")]
+
+
+def test_eof_closes_suppressed_when_last_token_is_open():
+    assert parse("<b><a>foo</a><b>") == [
+        TagOpen("b", ()),
+        TagOpen("a", ()),
+        Text("foo"),
+        TagClose("a"),
+        TagOpen("b", ()),
+    ]
+
+
+def test_outer_close_implies_inner_closes():
+    assert parse("<b><c><d>2</d></b></c>") == [
+        TagOpen("b", ()),
+        TagOpen("c", ()),
+        TagOpen("d", ()),
+        Text("2"),
+        TagClose("d"),
+        TagClose("c"),
+        TagClose("b"),
+    ]
+
+
+def test_attributes_sorted_and_first_dup_wins():
+    assert parse('<a z="1" b="2" z="3">') == [
+        TagOpen("a", (("b", "2"), ("z", "1"))),
+    ]
+
+
+def test_entities_decoded():
+    assert parse("<a>x &amp; y</a>") == [
+        TagOpen("a", ()),
+        Text("x & y"),
+        TagClose("a"),
+    ]
+
+
+def test_doctype_dropped():
+    assert parse("<!DOCTYPE html><a>x</a>") == [
+        TagOpen("a", ()),
+        Text("x"),
+        TagClose("a"),
+    ]
