@@ -1,0 +1,153 @@
+"""URL-seen set: bloom prefilter + exact anti-join.
+
+North rule: "partitioned bloom-filter (cuckoo fallback for deletes)
+URL-seen set keyed by canonicalized-URL hash" AND "URL-seen set
+exactly".  Blooms alone would false-positive-drop real URLs, so the
+architecture is:
+
+    candidates --bloom prefilter--> probably-seen? --exact anti-join--> new
+
+The bloom pass is partition-local (bitmaps keyed by
+``bucket(url_hash)``) and cheaply removes the bulk of already-seen
+URLs *before* the expensive exact anti-join shuffle; the anti-join
+remains the authority, so correctness never depends on bloom FP rate.
+At the 10^10-URL design point: 10 bits/key => ~12 GiB of bloom bits
+across >= 512 buckets of ~24 MiB — each bucket fits comfortably in an
+executor; buckets co-partition with the candidate side so the probe is
+a map-side operation after one hash-partition exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+BLOOM_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("bits", BinaryType()),
+    ]
+)
+
+_PROBE_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("url_hash", LongType()),
+        StructField("maybe_seen", IntegerType()),
+    ]
+)
+
+
+def _positions(hashes: np.ndarray, m_bits: int, n_funcs: int):
+    """k derived hash positions per key (double hashing on xxhash64)."""
+    h1 = hashes.astype(np.uint64)
+    h2 = (h1 >> np.uint64(17)) | np.uint64(1)  # odd => full-period stride
+    for i in range(n_funcs):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_bloom(
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 32,
+    bits_per_bucket: int = 1 << 17,
+    n_funcs: int = 5,
+) -> DataFrame:
+    """Build partition-owned bloom bitmaps from the seen set.
+
+    One output row per bucket: (bucket, bits).  Persisted alongside
+    the seen snapshot so incremental rounds OR-in only new hashes.
+    """
+    bucketed = seen.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(hash_col).alias("url_hash"),
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"bucket": [], "bits": []})
+        bucket = int(pdf["bucket"].iloc[0])
+        bits = np.zeros(bits_per_bucket // 8, dtype=np.uint8)
+        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+        for pos in _positions(hashes, bits_per_bucket, n_funcs):
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bucket": [bucket], "bits": [bits.tobytes()]})
+
+    return bucketed.groupBy("bucket").applyInPandas(_build, BLOOM_SCHEMA)
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    blooms: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 32,
+    bits_per_bucket: int = 1 << 17,
+    n_funcs: int = 5,
+) -> DataFrame:
+    """Tag candidates with ``maybe_seen``; definite-new rows (bloom
+    miss) can skip the exact anti-join entirely."""
+    with_bucket = candidates.withColumn(
+        "_bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    )
+    joined = with_bucket.join(
+        F.broadcast(blooms.withColumnRenamed("bucket", "_bucket")),
+        "_bucket",
+        "left",
+    )
+
+    @F.pandas_udf(IntegerType())
+    def _probe(hashes: pd.Series, bits: pd.Series) -> pd.Series:
+        out = np.ones(len(hashes), dtype=np.int32)
+        arrs = {}
+        for i, (h, b) in enumerate(zip(hashes.to_numpy(dtype=np.int64), bits)):
+            if b is None:
+                out[i] = 0
+                continue
+            key = id(b)
+            arr = arrs.get(key)
+            if arr is None:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                arrs[key] = arr
+            hv = np.array([h], dtype=np.int64)
+            hit = True
+            for pos in _positions(hv, bits_per_bucket, n_funcs):
+                p = int(pos[0])
+                if not (arr[p >> 3] >> (p & 7)) & 1:
+                    hit = False
+                    break
+            out[i] = 1 if hit else 0
+        return pd.Series(out)
+
+    return joined.withColumn("maybe_seen", _probe(F.col(hash_col), F.col("bits"))).drop(
+        "bits", "_bucket"
+    )
+
+
+def new_urls(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blooms: DataFrame | None = None,
+    hash_col: str = "url_hash",
+    **bloom_kwargs,
+) -> DataFrame:
+    """candidates ∖ seen — exact, with optional bloom prefilter.
+
+    The exact ``left_anti`` join is the authority; when blooms are
+    supplied, only bloom-positive rows pay for it.
+    """
+    if blooms is None:
+        return candidates.join(seen.select(hash_col), hash_col, "left_anti")
+    tagged = bloom_prefilter(candidates, blooms, hash_col, **bloom_kwargs)
+    definitely_new = tagged.filter(F.col("maybe_seen") == 0).drop("maybe_seen")
+    suspects = tagged.filter(F.col("maybe_seen") == 1).drop("maybe_seen")
+    verified_new = suspects.join(seen.select(hash_col), hash_col, "left_anti")
+    return definitely_new.unionByName(verified_new)

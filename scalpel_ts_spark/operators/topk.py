@@ -1,0 +1,67 @@
+"""Salted per-group top-k — the politeness priority queue.
+
+``BASELINE.json`` north rule: "a priority queue realized as salted
+host-hash partitioning plus secondary sort, ... explicit skew
+mitigation on hot hosts".
+
+A naive ``Window.partitionBy(host)`` sends EVERY pending URL of a hot
+host to one task.  Instead we do a two-phase exact top-k:
+
+  phase 1 (salted): rank within (group, salt) — parallelism = salt
+           count even for a single monster host — and keep only the
+           top ``prune_k`` rows per salt bucket.  Any row outside a
+           salt-local top-k cannot be in the group's global top-k
+           (k <= prune_k), so this prune is lossless.
+  phase 2 (exact): rank the surviving <= salt*prune_k rows per group
+           and keep the true top rows.
+
+Both phases are plain window functions — Catalyst/AQE handle the
+physical shuffles, and phase 2's input is bounded regardless of how
+skewed the frontier is.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: Column | int,
+    salt_col: Column | None = None,
+    salt_buckets: int = 16,
+    prune_k: int | None = None,
+    rank_col: str = "_rank",
+) -> DataFrame:
+    """Keep the top-``k`` rows per group under ``order_cols``.
+
+    ``k`` may be a per-row Column (e.g. the host's politeness token
+    count, joined on beforehand) or a literal.  ``salt_col`` defaults
+    to a deterministic hash of the ordering key — never random, so
+    plans are reproducible.
+    """
+    k_col = F.lit(k) if isinstance(k, int) else k
+    if prune_k is None:
+        prune_k = 256  # upper bound for any sane per-round host quota
+
+    if salt_col is None:
+        salt_col = F.pmod(F.xxhash64(*order_cols), F.lit(salt_buckets))
+
+    salted = df.withColumn("_salt", salt_col)
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    pruned = (
+        salted.withColumn("_srank", F.row_number().over(w1))
+        .filter(F.col("_srank") <= F.lit(prune_k))
+        .drop("_srank", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k_col)
+        .drop(rank_col)
+    )

@@ -1,0 +1,322 @@
+"""The crawl engine: PySpark-native URL frontier + fetch scheduler.
+
+One crawl round is one Spark job pipeline over snapshot tables:
+
+    frontier ──(refill token buckets)── host_state
+       │ join on host_id
+       ▼
+    salted top-k per host (operators.topk — politeness priority queue)
+       │
+    fetch UDF ── parse+extract UDF (one parse: spans, links, title)
+       │
+    explode links ── canonicalize ── robots filter
+       │
+    bloom prefilter + exact anti-join vs seen (operators.seen)
+       │
+    write snapshots: docs+, fetch_log+, seen+, frontier', host_state',
+                     bloom', manifest (metrics + per-partition lineage)
+
+Storage is an Iceberg-shaped snapshot layout on plain parquet (the
+sandbox has no Iceberg jars): every table is versioned by round under
+``workdir/<table>/r<N>``, the ``seen`` table is append-only (full set =
+union of deltas), and ``manifest.json`` records per-round snapshot
+paths, metrics and lineage — giving atomic-at-round granularity and
+resume-from-any-round, which is exactly the Iceberg snapshot/
+overwritePartitions pattern.  On a real cluster each write maps to
+``writeTo(...).overwritePartitions()`` / ``append()`` on tables
+partitioned by ``bucket(url_hash)`` / ``bucket(host_hash)``.
+
+Determinism: every ordering/selection key (priority, seq, url_hash) is
+derived from the data, never from task scheduling — so the engine
+reproduces the reference simulator's fetch log and seen set exactly,
+at any parallelism, resumed or not (tests/test_frontier.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scalpel_ts_spark.functions.url import canonicalize_url, url_hash
+from scalpel_ts_spark.operators.extract import crawl_extract_udf
+from scalpel_ts_spark.operators.seen import build_bloom, new_urls
+from scalpel_ts_spark.operators.topk import topk_per_group
+from scalpel_ts_spark.sources.synthetic import (
+    fetch_udf,
+    host_id_col,
+    robots_allowed_col,
+    seq_col,
+)
+
+TABLES = ("frontier", "seen", "host_state", "docs", "fetch_log", "bloom")
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        n_hosts: int = 50,
+        cap: int = 8,
+        refill: int = 4,
+        salt_buckets: int = 16,
+        use_bloom: bool = True,
+        bloom_buckets: int = 32,
+        write_docs: bool = True,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.n_hosts = n_hosts
+        self.cap = cap
+        self.refill = refill
+        self.salt_buckets = salt_buckets
+        self.use_bloom = use_bloom
+        self.bloom_buckets = bloom_buckets
+        self.write_docs = write_docs
+        self.round = 0
+        self.manifest = {"config": self._config(), "rounds": []}
+
+    def _config(self):
+        return {
+            "n_hosts": self.n_hosts,
+            "cap": self.cap,
+            "refill": self.refill,
+            "salt_buckets": self.salt_buckets,
+            "use_bloom": self.use_bloom,
+            "bloom_buckets": self.bloom_buckets,
+        }
+
+    # --- snapshot IO -----------------------------------------------------
+
+    def _path(self, table: str, rnd: int) -> str:
+        return os.path.join(self.workdir, table, f"r{rnd}")
+
+    def _write(self, df: DataFrame, table: str, rnd: int):
+        df.write.mode("overwrite").parquet(self._path(table, rnd))
+
+    def _read(self, table: str, rnd: int) -> DataFrame:
+        return self.spark.read.parquet(self._path(table, rnd))
+
+    def _seen_union(self, upto: int) -> DataFrame:
+        """Full seen set = union of append-only deltas r0..r<upto>.
+
+        (Iceberg equivalent: a single table scan; periodic compaction
+        would bound the file count — at sandbox round counts the union
+        read is fine.)"""
+        paths = [self._path("seen", r) for r in range(upto + 1)]
+        return self.spark.read.parquet(*paths)
+
+    def _save_manifest(self):
+        with open(os.path.join(self.workdir, "manifest.json"), "w") as f:
+            json.dump(self.manifest, f, indent=1)
+
+    # --- lifecycle --------------------------------------------------------
+
+    def init(self, seeds):
+        """Round-0 snapshot from the seed list."""
+        if os.path.exists(self.workdir):
+            shutil.rmtree(self.workdir)
+        os.makedirs(self.workdir)
+        seed_df = self.spark.createDataFrame(
+            [(u,) for u in seeds], ["url"]
+        ).select(canonicalize_url(F.col("url")).alias("url"))
+        frontier = seed_df.select(
+            "url",
+            host_id_col(F.col("url")).alias("host_id"),
+            F.lit(0).alias("priority"),
+            seq_col(F.col("url")).alias("seq"),
+            url_hash(F.col("url")).alias("url_hash"),
+        )
+        self._write(frontier, "frontier", 0)
+        self._write(frontier.select("url", "url_hash"), "seen", 0)
+        self._write(
+            self.spark.createDataFrame([], "host_id long, tokens int"),
+            "host_state",
+            0,
+        )
+        if self.use_bloom:
+            self._write(
+                build_bloom(frontier, n_buckets=self.bloom_buckets), "bloom", 0
+            )
+        self.round = 0
+        self.manifest["rounds"] = []
+        self._save_manifest()
+
+    @classmethod
+    def resume(cls, spark: SparkSession, workdir: str) -> "CrawlEngine":
+        """Reopen an engine from its latest committed snapshot."""
+        with open(os.path.join(workdir, "manifest.json")) as f:
+            manifest = json.load(f)
+        cfg = manifest["config"]
+        eng = cls(spark, workdir, **{k: cfg[k] for k in cfg})
+        eng.manifest = manifest
+        eng.round = len(manifest["rounds"])
+        return eng
+
+    # --- one crawl round ---------------------------------------------------
+
+    def run_round(self) -> dict:
+        r = self.round
+        t0 = time.time()
+        frontier = self._read("frontier", r)
+        host_state = self._read("host_state", r)
+
+        # 1. token-bucket refill for hosts with pending work; hosts not
+        #    pending this round keep their balance untouched (matches
+        #    the reference policy in plans/simulator.py)
+        pending_hosts = frontier.select("host_id").distinct()
+        refreshed = pending_hosts.join(host_state, "host_id", "left").select(
+            "host_id",
+            F.when(F.col("tokens").isNull(), F.lit(self.cap))
+            .otherwise(F.least(F.lit(self.cap), F.col("tokens") + F.lit(self.refill)))
+            .alias("tokens"),
+        )
+        idle = host_state.join(pending_hosts, "host_id", "left_anti")
+        new_state = refreshed.unionByName(idle)
+
+        # 2. politeness-budgeted selection: salted top-k per host by
+        #    (priority, seq) with k = the host's token balance
+        budgeted = frontier.join(new_state, "host_id")
+        candidates = topk_per_group(
+            budgeted,
+            group_cols=["host_id"],
+            order_cols=[F.col("priority"), F.col("seq")],
+            k=F.col("tokens"),
+            salt_buckets=self.salt_buckets,
+            prune_k=self.cap,
+        ).drop("tokens")
+
+        # 3. fetch + single-parse extraction (spans, links, title)
+        fetched = (
+            candidates.withColumn("html", fetch_udf(self.n_hosts)(F.col("url")))
+            .withColumn("ex", crawl_extract_udf()(F.col("url"), F.col("html")))
+            .drop("html")
+            .persist()
+        )
+        n_fetched = fetched.count()
+        if n_fetched == 0:
+            fetched.unpersist()
+            return {"round": r + 1, "fetched": 0, "stopped": True}
+
+        # per-partition lineage for the fetch stage
+        lineage = [
+            {"partition": row["pid"], "rows": row["rows"]}
+            for row in fetched.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count("*").alias("rows")).collect()
+        ]
+
+        # 4. link discovery -> canonical candidate URLs (robots filter
+        #    applies at discovery; in-round dedup keeps min data-key)
+        discovered = (
+            fetched.select(F.explode("ex.links").alias("raw_url"))
+            .select(canonicalize_url(F.col("raw_url")).alias("url"))
+            .withColumn("host_id", host_id_col(F.col("url")))
+            .filter(F.col("host_id").isNotNull() & robots_allowed_col(F.col("url")))
+            .dropDuplicates(["url"])
+            .select(
+                "url",
+                "host_id",
+                F.lit(r + 1).alias("priority"),
+                seq_col(F.col("url")).alias("seq"),
+                url_hash(F.col("url")).alias("url_hash"),
+            )
+        )
+
+        # 5. seen-set dedup: bloom prefilter + exact anti-join
+        seen = self._seen_union(r)
+        blooms = self._read("bloom", r) if self.use_bloom else None
+        fresh = new_urls(discovered, seen, blooms).persist()
+        n_new = fresh.count()
+
+        # 6. next frontier = pending - fetched + fresh
+        next_frontier = frontier.join(
+            fetched.select("url_hash"), "url_hash", "left_anti"
+        ).unionByName(fresh)
+
+        # 7. spend tokens
+        spent = fetched.groupBy("host_id").agg(F.count("*").alias("used"))
+        host_state_next = new_state.join(spent, "host_id", "left").select(
+            "host_id",
+            (F.col("tokens") - F.coalesce(F.col("used"), F.lit(0)))
+            .cast("int")
+            .alias("tokens"),
+        )
+
+        # 8. commit the round's snapshots
+        nxt = r + 1
+        if self.write_docs:
+            self._write(
+                fetched.select(
+                    "url",
+                    F.lit(nxt).alias("round"),
+                    F.col("ex.title").alias("title"),
+                    F.col("ex.spans").alias("spans"),
+                ),
+                "docs",
+                nxt,
+            )
+        self._write(
+            fetched.select(
+                F.lit(r).alias("round"),
+                "priority",
+                "seq",
+                "url",
+                "host_id",
+                F.size("ex.links").alias("n_links"),
+            ),
+            "fetch_log",
+            nxt,
+        )
+        self._write(fresh.select("url", "url_hash"), "seen", nxt)
+        self._write(next_frontier, "frontier", nxt)
+        self._write(host_state_next, "host_state", nxt)
+        if self.use_bloom:
+            # sandbox: rebuild from the full set; at scale the delta is
+            # OR-ed into the previous bitmaps partition-locally
+            self._write(
+                build_bloom(self._seen_union(nxt), n_buckets=self.bloom_buckets),
+                "bloom",
+                nxt,
+            )
+        fetched.unpersist()
+        fresh.unpersist()
+
+        metrics = {
+            "round": nxt,
+            "fetched": n_fetched,
+            "discovered_new": n_new,
+            "wall_sec": round(time.time() - t0, 3),
+            "lineage": lineage,
+        }
+        self.manifest["rounds"].append(metrics)
+        self.round = nxt
+        self._save_manifest()
+        return metrics
+
+    def run(self, rounds: int):
+        out = []
+        for _ in range(rounds):
+            m = self.run_round()
+            if m.get("stopped"):
+                break
+            out.append(m)
+        return out
+
+    # --- readers ------------------------------------------------------------
+
+    def fetch_log(self) -> DataFrame:
+        paths = [self._path("fetch_log", r + 1) for r in range(self.round)]
+        return self.spark.read.parquet(*paths)
+
+    def seen(self) -> DataFrame:
+        return self._seen_union(self.round)
+
+    def docs(self) -> DataFrame:
+        paths = [self._path("docs", r + 1) for r in range(self.round)]
+        return self.spark.read.parquet(*paths)

@@ -1,0 +1,84 @@
+"""Crawl determinism gates (SURVEY.md §5.2 item 2):
+
+1. the Spark engine's ordered fetch log and final URL-seen set equal
+   the single-process reference simulator's under the same seed list
+   and politeness budget;
+2. a run resumed from a mid-crawl snapshot produces an identical tail;
+3. the bloom prefilter changes nothing (it is a prefilter, the exact
+   anti-join is the authority).
+"""
+
+import pytest
+
+from scalpel_ts_spark.plans.frontier import CrawlEngine
+from scalpel_ts_spark.plans.simulator import simulate_crawl
+from scalpel_ts_spark.sources.synthetic import make_url
+
+SEEDS = [make_url(1, 0), make_url(2, 5), make_url(7, 11)]
+ROUNDS = 4
+N_HOSTS = 20
+
+
+def _sim():
+    return simulate_crawl(SEEDS, ROUNDS, cap=8, refill=4, n_hosts=N_HOSTS)
+
+
+def _engine_log(eng):
+    rows = eng.fetch_log().collect()
+    return sorted((r.round, r.priority, r.seq, r.url) for r in rows)
+
+
+def _sim_log(sim):
+    return sorted(
+        (e["round"], e["priority"], e["seq"], e["url"]) for e in sim.fetch_log
+    )
+
+
+@pytest.fixture(scope="module")
+def sim_state():
+    return _sim()
+
+
+def test_spark_crawl_matches_simulator(spark, tmp_path_factory, sim_state):
+    wd = str(tmp_path_factory.mktemp("crawl"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False
+    )
+    eng.init(SEEDS)
+    eng.run(ROUNDS)
+    assert _engine_log(eng) == _sim_log(sim_state)
+    got_seen = {r.url for r in eng.seen().collect()}
+    assert got_seen == sim_state.seen
+
+
+def test_resume_produces_identical_tail(spark, tmp_path_factory, sim_state):
+    wd = str(tmp_path_factory.mktemp("crawl_resume"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False
+    )
+    eng.init(SEEDS)
+    eng.run(2)
+    # simulate a crash: reopen from the manifest and continue
+    eng2 = CrawlEngine.resume(spark, wd)
+    assert eng2.round == 2
+    eng2.run(ROUNDS - 2)
+    assert _engine_log(eng2) == _sim_log(sim_state)
+    assert {r.url for r in eng2.seen().collect()} == sim_state.seen
+
+
+def test_bloom_prefilter_is_transparent(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawl_nobloom"))
+    eng = CrawlEngine(
+        spark,
+        wd,
+        n_hosts=N_HOSTS,
+        cap=8,
+        refill=4,
+        use_bloom=False,
+        write_docs=False,
+    )
+    eng.init(SEEDS)
+    eng.run(ROUNDS)
+    sim = _sim()
+    assert _engine_log(eng) == _sim_log(sim)
+    assert {r.url for r in eng.seen().collect()} == sim.seen
