@@ -1,0 +1,115 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line.
+
+The headline metric mirrors BASELINE.json: URLs fetched+extracted per
+second through the full crawl round loop (frontier scheduling ->
+fetch -> parse -> extract -> link discovery -> seen dedup -> snapshot
+commit), plus the training-data pipeline stages (span extraction,
+minhash near-dup, ANN, text stats) at the same scale factor.
+
+Scaling evidence (two-cluster-size rule): run with
+SPARK_GRAFT_CPUS=8 and =32 on the same input; BASELINE.md records
+throughput at both plus efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "5"))
+
+
+def main() -> None:
+    if not os.path.isdir(SF_DIR):
+        sys.exit(f"bench: SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}")
+    from scalpel_ts_spark.sources.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # -- headline: the crawl round loop ------------------------------------
+    workdir = tempfile.mkdtemp(prefix="bench_crawl_")
+    urls_fetched = 0
+
+    def crawl() -> None:
+        nonlocal urls_fetched
+        from scalpel_ts_spark.plans.frontier import CrawlEngine
+        from scalpel_ts_spark.sources.synthetic import make_url
+
+        eng = CrawlEngine(
+            spark, workdir, n_hosts=50, cap=32, refill=16,
+            salt_buckets=16, write_docs=True,
+        )
+        eng.init([make_url(h, p) for h in range(50) for p in range(4)])
+        for m in eng.run(CRAWL_ROUNDS):
+            urls_fetched += m["fetched"]
+
+    run("crawl", crawl)
+    shutil.rmtree(workdir, ignore_errors=True)
+    extra["urls_fetched"] = urls_fetched
+    extra["urls_per_sec"] = round(urls_fetched / timings["crawl"], 1)
+
+    # -- pipeline stages over the sf tables --------------------------------
+    n_docs = 0
+
+    def extract() -> None:
+        nonlocal n_docs
+        df = E.q_extract_spans(spark, SF_DIR)
+        n_docs = df.select("doc_id").distinct().count()
+        df.count()
+
+    run("extract_spans", extract)
+    extra["docs_extracted"] = n_docs
+    extra["docs_per_sec"] = round(n_docs / timings["extract_spans"], 1)
+
+    run("dedup_minhash", lambda: E.q_dedup_minhash(spark, SF_DIR).count())
+    run("dedup_exact", lambda: E.q_dedup_exact(spark, SF_DIR).count())
+    run("text_stats", lambda: E.q_text_stats(spark, SF_DIR).count())
+    run("ann_bruteforce", lambda: E.q_ann_bruteforce(spark, SF_DIR).count())
+    run("embedding_neardup",
+        lambda: E.q_embedding_neardup(spark, SF_DIR).count())
+    run("topk_lineitem", lambda: E.q_topk_lineitem(spark, SF_DIR).count())
+    run("seen_antijoin_bloom",
+        lambda: E.q_seen_antijoin_bloom(spark, SF_DIR).count())
+    run("url_canonicalize",
+        lambda: E.q_url_canonicalize(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "crawl+pipeline wall time (headline: URLs fetched+"
+                  "extracted/sec in 'urls_per_sec')",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        **extra,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Dot/norm/cosine are built-in higher-order functions (``zip_with`` +
+``aggregate``) evaluated JVM-side in double precision with
+left-to-right summation — the same order DuckDB's ``list_dot_product``
+uses on DOUBLE[], so oracle comparisons are bit-stable.
+
+The random-hyperplane signature (for LSH ANN / near-dup buckets) is a
+vectorized pandas UDF: one numpy matmul per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`cosine` (double-precision, same op order)."""
+    ad, bd = f"{a}::DOUBLE[]", f"{b}::DOUBLE[]"
+    return (
+        f"(list_dot_product({ad}, {bd}) / "
+        f"(sqrt(list_dot_product({ad}, {ad})) * "
+        f"sqrt(list_dot_product({bd}, {bd}))))"
+    )
+
+
+def hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes, shape (n_tables * n_bits, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables * n_bits, dim)).astype(np.float64)
+
+
+def lsh_buckets_udf(planes: np.ndarray, n_tables: int, n_bits: int):
+    """embedding -> array of ``n_tables`` bucket ids (sign-bit packed).
+
+    One numpy matmul per Arrow batch; the planes matrix rides in the
+    closure (tiny: tables*bits*dim doubles) — effectively a broadcast.
+    """
+    weights = np.ascontiguousarray(planes.T)  # (dim, tables*bits)
+    packer = (1 << np.arange(n_bits, dtype=np.int64))  # bit weights
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _udf(emb: pd.Series) -> pd.Series:
+        mat = np.asarray(emb.to_list(), dtype=np.float64)  # (rows, dim)
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        signs = (mat @ weights) > 0  # (rows, tables*bits)
+        signs = signs.reshape(len(mat), n_tables, n_bits)
+        buckets = (signs * packer).sum(axis=2).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    return _udf

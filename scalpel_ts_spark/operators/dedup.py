@@ -1,0 +1,322 @@
+"""Document deduplication operators for the training-data pipeline.
+
+Four families, all shuffle-conscious:
+
+* **exact** — groupBy on a content fingerprint (md5 of normalized
+  text).  One hash-aggregate shuffle; partial aggregation map-side.
+* **n-gram Jaccard** — exact pairwise similarity on word-shingle sets.
+  O(n²) pairs, so only ever run on a *candidate* pair set (below) or a
+  bounded scope; kept as the verification authority.
+* **MinHash + LSH** — signature per doc (vectorized pandas UDF, one
+  numpy pass per Arrow batch), banded into bucket keys, self-join on
+  bucket → candidate pairs → exact-Jaccard verification.  This is the
+  scale path: the only all-to-all operation is the bucket self-join,
+  whose fan-out is controlled by band width, and verification touches
+  candidate pairs only (LSH is a prefilter exactly like the bloom in
+  operators/seen.py — never the authority).
+* **SimHash** — 64-bit signature; near-dup pairs share one of four
+  16-bit bands (pigeonhole: hamming <= 3 guarantees a shared band), so
+  candidate generation is again an equi-join, verified by exact
+  hamming distance.
+
+Base hashes use blake2b (stable across processes — never Python's
+seeded ``hash``) and universal hashing ``(a*h + b) mod p`` for the
+permutations.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from scalpel_ts_spark.functions.text import fingerprint, word_shingles
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _base_hash64(values) -> np.ndarray:
+    """Stable 64-bit hash per string (blake2b, first 8 bytes)."""
+    return np.fromiter(
+        (
+            int.from_bytes(blake2b(v.encode(), digest_size=8).digest(), "big")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: (fingerprint, canonical_id, n_dupes).
+
+    canonical = min id per group; map-side partial agg keeps the
+    shuffle proportional to distinct fingerprints, not rows.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct normalized content."""
+    w = exact_duplicates(df, text_col, id_col)
+    return df.join(
+        w.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """Exact Jaccard >= threshold over ALL pairs (verification scope
+    only — the LSH path below feeds this a candidate set instead).
+
+    Output: (id_a, id_b, inter, uni) with id_a < id_b; similarity is
+    exposed as exact integer set sizes so oracles never compare
+    floats.
+    """
+    a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return _verify_jaccard(pairs, threshold)
+
+
+def _verify_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    num, den = _ratio_as_ints(threshold)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+        # integer cross-multiplication: inter/uni >= num/den, float-free
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+    )
+
+
+def _ratio_as_ints(threshold: float, den: int = 10_000) -> tuple[int, int]:
+    return int(round(threshold * den)), den
+
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_signature_udf(n_perm: int = 128, seed: int = 42):
+    """shingles(array<string>) -> minhash signature (array<long>).
+
+    Universal hashing (a*h + b) mod 2^31-1 over 31-bit folds of
+    blake2b base hashes — a, b, h < 2^31 so a*h + b fits uint64 and
+    the whole (n_perm x n_shingles) reduction stays vectorized.
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, _MERSENNE31, size=n_perm, dtype=np.uint64)[:, None]
+    B = rng.integers(0, _MERSENNE31, size=n_perm, dtype=np.uint64)[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(shingles: pd.Series) -> pd.Series:
+        out = []
+        m31 = np.uint64(_MERSENNE31)
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append(None)
+                continue
+            h64 = _base_hash64(sh)
+            h = ((h64 ^ (h64 >> np.uint64(32))) & m31)[None, :]
+            sig = ((A * h + B) % m31).min(axis=1)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _udf
+
+
+def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Fold each band of the signature into one 64-bit bucket key.
+
+    key = xxhash64(band_idx, band values...) via a rolling polynomial
+    inside higher-order functions — JVM-side, no Python.
+    """
+    def one_band(b: int) -> Column:
+        band = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        # acc stays < 2^31 so acc*1000003 + v fits a long (ANSI-safe);
+        # 31-bit keys are only a prefilter — verification is exact
+        rolled = F.aggregate(
+            band,
+            F.lit(b + 1).cast("long"),
+            lambda acc, v: F.pmod(
+                acc * F.lit(1_000_003) + F.pmod(v, F.lit(1 << 31)),
+                F.lit((1 << 31) - 1),
+            ),
+        )
+        return rolled
+
+    return F.array(*[one_band(b) for b in range(n_bands)])
+
+
+def lsh_candidate_pairs(
+    with_sig: DataFrame,
+    n_bands: int = 32,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """Distinct candidate pairs sharing >= 1 LSH band bucket.
+
+    posexplode keeps the band index in the key so different bands
+    never collide; the self-equi-join on (band, key) is the single
+    shuffle, and AQE's skew-join splitting handles megabuckets.
+    """
+    bands = with_sig.select(
+        F.col(id_col),
+        F.posexplode(band_keys(F.col(sig_col), n_bands, rows_per_band)).alias(
+            "band", "key"
+        ),
+    )
+    left = bands.select("band", "key", F.col(id_col).alias("id_a"))
+    right = bands.select("band", "key", F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_perm: int = 128,
+    n_bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Near-dup pairs: shingle -> minhash -> LSH bands -> candidate
+    self-join -> exact-Jaccard verification (the authority).
+
+    Output (id_a, id_b, inter, uni), id_a < id_b.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    with_sig = shingled.withColumn(
+        "minhash", minhash_signature_udf(n_perm)(F.col("shingles"))
+    )
+    cand = lsh_candidate_pairs(
+        with_sig, n_bands, rows_per_band, id_col=id_col, sig_col="minhash"
+    )
+    sh = shingled.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+    )
+    return _verify_jaccard(pairs, threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash_udf():
+    """tokens(array<string>) -> 64-bit simhash (long).
+
+    Majority vote per bit over stable token hashes, token multiplicity
+    counted (classic Charikar simhash).
+    """
+
+    @F.pandas_udf(LongType())
+    def _udf(tokens: pd.Series) -> pd.Series:
+        bitw = 1 << np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                out[i] = 0
+                continue
+            h = _base_hash64(toks)
+            bits = ((h[:, None] & bitw[None, :]) != 0).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = int(
+                ((votes > 0).astype(np.uint64) * bitw).sum().astype(np.uint64)
+            ) - (1 << 64) * int(votes[63] > 0)
+        return pd.Series(out)
+
+    return _udf
+
+
+def simhash_bands(sim: Column, n_bands: int = 4) -> Column:
+    """Split the 64-bit simhash into ``n_bands`` equal bit-bands.
+
+    Pigeonhole: two hashes within hamming distance ``n_bands - 1``
+    share at least one identical band, so banding is a lossless
+    candidate filter for that radius.
+    """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(sim, b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with simhash hamming distance <= max_hamming (exact,
+    verified after banded candidate generation).  Requires
+    ``max_hamming < n_bands`` for losslessness; n_bands fixed at 4.
+    """
+    assert max_hamming < 4, "4-band split is lossless only for hamming <= 3"
+    from scalpel_ts_spark.functions.text import tokens as tokens_col
+
+    with_sim = df.select(
+        F.col(id_col), simhash_udf()(tokens_col(F.col(text_col))).alias("simhash")
+    )
+    bands = with_sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(simhash_bands(F.col("simhash"))).alias("band", "key"),
+    )
+    left = bands.select("band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    right = bands.select("band", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -50,7 +50,12 @@ def topk_per_group(
         prune_k = 256  # upper bound for any sane per-round host quota
 
     if salt_col is None:
-        salt_col = F.pmod(F.xxhash64(*order_cols), F.lit(salt_buckets))
+        # hash every input column (order_cols may be SortOrder
+        # expressions, which can't be hashed) — deterministic and
+        # data-derived, never random / scheduling-dependent
+        salt_col = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+        )
 
     salted = df.withColumn("_salt", salt_col)
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)

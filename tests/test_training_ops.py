@@ -1,0 +1,190 @@
+"""Training-data pipeline operators: text analysis, dedup families,
+similarity search, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_ts_spark.functions import text as T
+from scalpel_ts_spark.functions.vector import cosine
+from scalpel_ts_spark.operators import dedup as D
+from scalpel_ts_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from scalpel_ts_spark.multimodal import (
+    attach_media_blob,
+    decode_image,
+    frame_sample,
+    media_features,
+)
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0 (norm)
+    (2, "The quick brown fox jumps over the lazy cat today"),  # near dup
+    (3, "der hund und die katze und das haus ist ein zu"),  # german-ish
+    (4, "completely unrelated words about spark shuffles and joins here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_text_functions(spark, docs_df):
+    row = (
+        docs_df.filter("doc_id = 0")
+        .select(
+            T.token_count(F.col("text")).alias("n"),
+            T.bpe_token_count(F.col("text")).alias("bpe"),
+            T.stopword_ratio(F.col("text")).alias("stop"),
+            T.lang_id(F.col("text")).alias("lang"),
+            T.fingerprint(F.col("text")).alias("fp"),
+            T.word_shingles(F.col("text"), 3).alias("sh"),
+        )
+        .collect()[0]
+    )
+    assert row["n"] == 9
+    assert row["bpe"] == 9
+    assert row["stop"] == pytest.approx(2 / 9)  # 'the' twice
+    assert row["lang"] == "en"
+    assert len(row["sh"]) == 7  # 9 tokens -> 7 trigrams, all distinct
+    # fingerprint is normalization-invariant
+    fps = docs_df.filter("doc_id in (0,1)").select(
+        T.fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    assert fps.count() == 1
+    lang3 = docs_df.filter("doc_id = 3").select(
+        T.lang_id(F.col("text")).alias("l")
+    ).collect()[0]["l"]
+    assert lang3 == "de"
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = D.exact_duplicates(docs_df).collect()
+    sizes = sorted(g["n_dupes"] for g in groups)
+    assert sizes == [1, 1, 1, 2]
+    kept = D.dedup_exact(docs_df)
+    assert kept.count() == 4
+    assert kept.filter("doc_id = 1").count() == 0  # min-id canonical wins
+
+
+def test_jaccard_and_minhash_agree(spark, docs_df):
+    shingled = docs_df.select(
+        "doc_id", T.word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(shingled, threshold=0.5).collect()
+    }
+    assert (0, 1) in exact  # identical after lowering
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_duplicates(docs_df, threshold=0.5).collect()
+    }
+    # LSH + exact verification must equal the exact pair set at this
+    # threshold (planted dups are far above it; FN prob negligible)
+    assert lsh == exact
+
+
+def test_minhash_finds_near_dup_at_07(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_duplicates(docs_df, threshold=0.66).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(p[0] != 4 and p[1] != 4 for p in pairs)
+
+
+def test_simhash(spark, docs_df):
+    pairs = D.simhash_near_duplicates(docs_df, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # normalized-identical -> hamming 0
+    assert (0, 4) not in got and (1, 4) not in got
+
+
+def _embeddings(n=40, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    return [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = _embeddings()
+    # plant near-duplicates: ids 100+i are tiny perturbations of i<3
+    rng = np.random.default_rng(11)
+    for i in range(3):
+        v = np.array(rows[i][1]) + rng.standard_normal(16).astype(np.float32) * 0.01
+        rows.append((100 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb_df.collect()}
+    queries = emb_df.filter("vec_id < 2")
+    got = brute_force_topk(queries, emb_df, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in (0, 1):
+        qv = rows[q]
+        sims = {
+            i: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for i, v in rows.items()
+            if i != q
+        }
+        expect = [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))][:3]
+        assert [n for _, n in sorted(by_q[q])] == expect
+
+
+def test_lsh_topk_finds_planted_neighbor(spark, emb_df):
+    queries = emb_df.filter("vec_id >= 100")
+    got = lsh_topk(queries, emb_df.filter("vec_id < 100"), dim=16, k=1).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert top1 == {100: 0, 101: 1, 102: 2}
+
+
+def test_embedding_near_duplicates(spark, emb_df):
+    pairs = embedding_near_duplicates(emb_df, dim=16, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 100), (1, 101), (2, 102)}
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"]
+    )
+    vals = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[1] == pytest.approx(0.0)
+
+
+def test_multimodal_plumbing(spark):
+    refs = spark.createDataFrame(
+        [(f"media://h0/p{i}/img0",) for i in range(5)], ["media_ref"]
+    )
+    with_blob = attach_media_blob(refs)
+    assert dict(with_blob.dtypes)["blob"] == "binary"
+    feats = media_features(with_blob)
+    rows = feats.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["mime"] == "image/x-fake"
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 64
+        assert r["n_bytes"] > 0
+    # determinism: same ref -> same metadata
+    again = {r["media_ref"]: (r["width"], r["height"]) for r in media_features(with_blob).collect()}
+    first = {r["media_ref"]: (r["width"], r["height"]) for r in rows}
+    assert again == first
+    frames = frame_sample(with_blob, every_n=2)
+    assert frames.count() > 0
+    assert frames.filter(F.col("frame_idx") % 2 != 0).count() == 0
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
