@@ -76,7 +76,12 @@ def _spans_html() -> F.Column:
 
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
-    html = docs.select("doc_id", _spans_html().alias("html"))
+    # parquet scans partition by bytes; extraction cost is per row —
+    # spread the Python stage across all cores explicitly
+    par = spark.sparkContext.defaultParallelism
+    html = docs.repartition(par, "doc_id").select(
+        "doc_id", _spans_html().alias("html")
+    )
     spans = html.select(
         "doc_id", F.explode(extract_spans_udf()(F.col("html"))).alias("s")
     )
@@ -209,6 +214,66 @@ def q_extract_nested_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXTRACT_NESTED_DEPTH_SQL = """
 SELECT doc_id, 's' || doc_id AS shallow, 't' || doc_id AS inner
+FROM documents
+"""
+
+
+def q_extract_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial scraper (zipper over siblings) through the Spark path."""
+    import scalpel_ts_spark.core.scraper as S
+    import scalpel_ts_spark.core.select as Sel
+    import scalpel_ts_spark.core.serial as Z
+    from pyspark.sql.types import ArrayType, StringType
+
+    docs = _tbl(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<seq><a>"), F.col("source"), F.lit("</a><b>"),
+        F.col("lang"), F.lit("</b><a>x"), _D(), F.lit("</a></seq>"),
+    )
+    df = docs.select("doc_id", html.alias("html"))
+    scraper = S.chroot(
+        Sel.tag("seq"),
+        Z.in_serial(Z.repeat(Z.step_next(S.text(Sel.any_node)))),
+    )
+    udf = scrape_udf(scraper, ArrayType(StringType()))
+    return df.select(
+        "doc_id", F.posexplode(udf(F.col("html"))).alias("pos", "item")
+    )
+
+
+_EXTRACT_SERIAL_SQL = """
+SELECT doc_id, 0 AS pos, source AS item FROM documents
+UNION ALL SELECT doc_id, 1, lang FROM documents
+UNION ALL SELECT doc_id, 2, 'x' || doc_id FROM documents
+"""
+
+
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html/innerHTML re-serialization through the Spark path."""
+    import scalpel_ts_spark.core.scraper as S
+    import scalpel_ts_spark.core.select as Sel
+    from pyspark.sql.types import StringType
+
+    docs = _tbl(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div id="d'), (F.col("doc_id") % 9).cast("string"),
+        F.lit('"><b>'), F.col("source"), F.lit("</b></div>"),
+    )
+    df = docs.select("doc_id", html.alias("html"))
+    outer_udf = scrape_udf(S.html(Sel.tag("div")), StringType())
+    inner_udf = scrape_udf(S.inner_html(Sel.tag("div")), StringType())
+    return df.select(
+        "doc_id",
+        outer_udf(F.col("html")).alias("outer"),
+        inner_udf(F.col("html")).alias("inner"),
+    )
+
+
+_EXTRACT_HTML_SQL = """
+SELECT doc_id,
+       '<div id="d' || (doc_id % 9) || '"><b>' || source || '</b></div>'
+         AS outer,
+       '<b>' || source || '</b>' AS inner
 FROM documents
 """
 
@@ -636,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_title_attr": q_extract_title_attr,
         "extract_texts_pos": q_extract_texts_pos,
         "extract_nested_depth": q_extract_nested_depth,
+        "extract_serial": q_extract_serial,
+        "extract_html": q_extract_html,
         "url_canonicalize": q_url_canonicalize,
         "frontier_topk": q_frontier_topk,
         "seen_antijoin_bloom": q_seen_antijoin_bloom,
@@ -662,6 +729,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_title_attr": _EXTRACT_TITLE_ATTR_SQL,
         "extract_texts_pos": _EXTRACT_TEXTS_POS_SQL,
         "extract_nested_depth": _EXTRACT_NESTED_DEPTH_SQL,
+        "extract_serial": _EXTRACT_SERIAL_SQL,
+        "extract_html": _EXTRACT_HTML_SQL,
         "url_canonicalize": _url_canonicalize_sql(),
         "frontier_topk": _FRONTIER_TOPK_SQL,
         "seen_antijoin_bloom": _SEEN_ANTIJOIN_SQL,

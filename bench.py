@@ -57,11 +57,13 @@ def main() -> None:
         from scalpel_ts_spark.plans.frontier import CrawlEngine
         from scalpel_ts_spark.sources.synthetic import make_url
 
+        # large per-round politeness budget: rounds are macro-batches,
+        # so fixed per-round scheduling cost amortizes over the batch
         eng = CrawlEngine(
-            spark, workdir, n_hosts=50, cap=32, refill=16,
+            spark, workdir, n_hosts=50, cap=256, refill=128,
             salt_buckets=16, write_docs=True,
         )
-        eng.init([make_url(h, p) for h in range(50) for p in range(4)])
+        eng.init([make_url(h, p) for h in range(50) for p in range(8)])
         for m in eng.run(CRAWL_ROUNDS):
             urls_fetched += m["fetched"]
 

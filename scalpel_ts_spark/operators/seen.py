@@ -85,6 +85,14 @@ def build_bloom(
     return bucketed.groupBy("bucket").applyInPandas(_build, BLOOM_SCHEMA)
 
 
+def _probe_bits(arr: np.ndarray, hashes: np.ndarray, m_bits: int, n_funcs: int):
+    """Vectorized membership test of ``hashes`` against one bitmap."""
+    hit = np.ones(len(hashes), dtype=bool)
+    for pos in _positions(hashes, m_bits, n_funcs):
+        hit &= ((arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).astype(bool)
+    return hit
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     blooms: DataFrame,
@@ -94,42 +102,76 @@ def bloom_prefilter(
     n_funcs: int = 5,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen``; definite-new rows (bloom
-    miss) can skip the exact anti-join entirely."""
+    miss) skip the exact anti-join entirely.
+
+    Cogroup by bucket: each task holds ONE bitmap and probes its whole
+    candidate group in a few numpy passes — the bitmap is never
+    duplicated per row, which is what lets 10^10-URL bloom state
+    (GiBs of bits) stay partition-owned instead of broadcast.
+    """
+    from pyspark.sql.types import StructType
+
     with_bucket = candidates.withColumn(
         "_bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
     )
-    joined = with_bucket.join(
-        F.broadcast(blooms.withColumnRenamed("bucket", "_bucket")),
-        "_bucket",
-        "left",
+    out_schema = StructType(
+        with_bucket.schema.fields + [StructField("maybe_seen", IntegerType())]
     )
 
-    @F.pandas_udf(IntegerType())
-    def _probe(hashes: pd.Series, bits: pd.Series) -> pd.Series:
-        out = np.ones(len(hashes), dtype=np.int32)
-        arrs = {}
-        for i, (h, b) in enumerate(zip(hashes.to_numpy(dtype=np.int64), bits)):
-            if b is None:
-                out[i] = 0
-                continue
-            key = id(b)
-            arr = arrs.get(key)
-            if arr is None:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                arrs[key] = arr
-            hv = np.array([h], dtype=np.int64)
-            hit = True
-            for pos in _positions(hv, bits_per_bucket, n_funcs):
-                p = int(pos[0])
-                if not (arr[p >> 3] >> (p & 7)) & 1:
-                    hit = False
-                    break
-            out[i] = 1 if hit else 0
-        return pd.Series(out)
+    def _probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return cand_pdf.assign(maybe_seen=pd.array([], dtype="int32"))
+        if len(bloom_pdf) == 0:
+            return cand_pdf.assign(
+                maybe_seen=np.zeros(len(cand_pdf), dtype=np.int32)
+            )
+        arr = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8)
+        h = cand_pdf[hash_col].to_numpy(dtype=np.int64)
+        hit = _probe_bits(arr, h, bits_per_bucket, n_funcs)
+        return cand_pdf.assign(maybe_seen=hit.astype(np.int32))
 
-    return joined.withColumn("maybe_seen", _probe(F.col(hash_col), F.col("bits"))).drop(
-        "bits", "_bucket"
+    cg = with_bucket.groupBy("_bucket").cogroup(
+        blooms.withColumnRenamed("bucket", "_bucket").groupBy("_bucket")
     )
+    return cg.applyInPandas(_probe, out_schema).drop("_bucket")
+
+
+def update_bloom(
+    blooms: DataFrame,
+    delta: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 32,
+    bits_per_bucket: int = 1 << 17,
+    n_funcs: int = 5,
+) -> DataFrame:
+    """OR new hashes into existing bitmaps — incremental, partition-
+    local; never rescans the historical seen set."""
+    bucketed = delta.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("_bucket"),
+        F.col(hash_col).alias("url_hash"),
+    )
+
+    def _merge(delta_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bloom_pdf) > 0:
+            bits = np.frombuffer(
+                bloom_pdf["bits"].iloc[0], dtype=np.uint8
+            ).copy()
+            bucket = int(bloom_pdf["_bucket"].iloc[0])
+        else:
+            bits = np.zeros(bits_per_bucket // 8, dtype=np.uint8)
+            bucket = int(delta_pdf["_bucket"].iloc[0])
+        if len(delta_pdf) > 0:
+            hashes = delta_pdf["url_hash"].to_numpy(dtype=np.int64)
+            for pos in _positions(hashes, bits_per_bucket, n_funcs):
+                np.bitwise_or.at(
+                    bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        return pd.DataFrame({"bucket": [bucket], "bits": [bits.tobytes()]})
+
+    cg = bucketed.groupBy("_bucket").cogroup(
+        blooms.withColumnRenamed("bucket", "_bucket").groupBy("_bucket")
+    )
+    return cg.applyInPandas(_merge, BLOOM_SCHEMA)
 
 
 def new_urls(

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from scalpel_ts_spark.functions.url import canonicalize_url, url_hash
 from scalpel_ts_spark.operators.extract import crawl_extract_udf
-from scalpel_ts_spark.operators.seen import build_bloom, new_urls
+from scalpel_ts_spark.operators.seen import build_bloom, new_urls, update_bloom
 from scalpel_ts_spark.operators.topk import topk_per_group
 from scalpel_ts_spark.sources.synthetic import (
     fetch_udf,
@@ -118,13 +118,19 @@ class CrawlEngine:
     # --- lifecycle --------------------------------------------------------
 
     def init(self, seeds):
-        """Round-0 snapshot from the seed list."""
+        """Round-0 snapshot from a seed list."""
+        return self.init_df(
+            self.spark.createDataFrame([(u,) for u in seeds], ["url"])
+        )
+
+    def init_df(self, seeds_df: DataFrame):
+        """Round-0 snapshot from a DataFrame with a ``url`` column
+        (the scale path: a 10^10-URL seed list never goes through the
+        driver)."""
         if os.path.exists(self.workdir):
             shutil.rmtree(self.workdir)
         os.makedirs(self.workdir)
-        seed_df = self.spark.createDataFrame(
-            [(u,) for u in seeds], ["url"]
-        ).select(canonicalize_url(F.col("url")).alias("url"))
+        seed_df = seeds_df.select(canonicalize_url(F.col("url")).alias("url"))
         frontier = seed_df.select(
             "url",
             host_id_col(F.col("url")).alias("host_id"),
@@ -191,25 +197,32 @@ class CrawlEngine:
             prune_k=self.cap,
         ).drop("tokens")
 
-        # 3. fetch + single-parse extraction (spans, links, title)
+        # 3. fetch + single-parse extraction (spans, links, title).
+        # Explicit repartition first: AQE sizes partitions by shuffle
+        # BYTES, but fetch/parse cost is per ROW (and the UDF's output
+        # is ~10x its input) — without this the whole Python stage can
+        # coalesce onto a handful of tasks.  Keyed by (host, url) so a
+        # production async-HTTP fetcher still sees host-batched rows.
+        par = self.spark.sparkContext.defaultParallelism * 2
         fetched = (
-            candidates.withColumn("html", fetch_udf(self.n_hosts)(F.col("url")))
+            candidates.repartition(par, "host_id", "url_hash")
+            .withColumn("html", fetch_udf(self.n_hosts)(F.col("url")))
             .withColumn("ex", crawl_extract_udf()(F.col("url"), F.col("html")))
             .drop("html")
             .persist()
         )
-        n_fetched = fetched.count()
-        if n_fetched == 0:
-            fetched.unpersist()
-            return {"round": r + 1, "fetched": 0, "stopped": True}
-
-        # per-partition lineage for the fetch stage
+        # one job: materialize fetch+extract AND collect per-partition
+        # lineage; n_fetched derives from the lineage rows
         lineage = [
             {"partition": row["pid"], "rows": row["rows"]}
             for row in fetched.groupBy(
                 F.spark_partition_id().alias("pid")
             ).agg(F.count("*").alias("rows")).collect()
         ]
+        n_fetched = sum(p["rows"] for p in lineage)
+        if n_fetched == 0:
+            fetched.unpersist()
+            return {"round": r + 1, "fetched": 0, "stopped": True}
 
         # 4. link discovery -> canonical candidate URLs (robots filter
         #    applies at discovery; in-round dedup keeps min data-key)
@@ -277,10 +290,13 @@ class CrawlEngine:
         self._write(next_frontier, "frontier", nxt)
         self._write(host_state_next, "host_state", nxt)
         if self.use_bloom:
-            # sandbox: rebuild from the full set; at scale the delta is
-            # OR-ed into the previous bitmaps partition-locally
+            # incremental: OR this round's new hashes into the previous
+            # bitmaps partition-locally — never rescans seen history
             self._write(
-                build_bloom(self._seen_union(nxt), n_buckets=self.bloom_buckets),
+                update_bloom(
+                    blooms, fresh.select("url_hash"),
+                    n_buckets=self.bloom_buckets,
+                ),
                 "bloom",
                 nxt,
             )
