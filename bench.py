@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "5"))
+CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "4"))
 
 
 def main() -> None:
@@ -60,10 +60,10 @@ def main() -> None:
         # large per-round politeness budget: rounds are macro-batches,
         # so fixed per-round scheduling cost amortizes over the batch
         eng = CrawlEngine(
-            spark, workdir, n_hosts=50, cap=256, refill=128,
+            spark, workdir, n_hosts=200, cap=512, refill=256,
             salt_buckets=16, write_docs=True,
         )
-        eng.init([make_url(h, p) for h in range(50) for p in range(8)])
+        eng.init([make_url(h, p) for h in range(200) for p in range(25)])
         for m in eng.run(CRAWL_ROUNDS):
             urls_fetched += m["fetched"]
 

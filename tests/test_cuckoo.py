@@ -1,0 +1,82 @@
+"""Cuckoo filter: the deletable URL-seen prefilter (north rule)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_ts_spark.operators.cuckoo import (
+    CuckooTable,
+    build_cuckoo,
+    cuckoo_prefilter,
+    update_cuckoo,
+)
+
+
+def test_table_insert_lookup_delete():
+    t = CuckooTable(n_buckets=1 << 10)
+    keys = np.arange(1000, dtype=np.int64) * 7919 + 13
+    assert t.insert_many(keys) == 0
+    assert t.contains_many(keys).all()  # no false negatives, ever
+    absent = np.arange(50_000, 52_000, dtype=np.int64)
+    fp_rate = t.contains_many(absent).mean()
+    assert fp_rate < 0.05
+    # delete half; deleted keys drop out, the rest stay
+    assert t.delete_many(keys[:500]) == 0
+    assert t.contains_many(keys[500:]).all()
+    assert t.contains_many(keys[:500]).mean() < 0.05
+
+
+def test_table_roundtrip_bytes():
+    t = CuckooTable(n_buckets=1 << 8)
+    keys = np.arange(100, dtype=np.int64) * 31 + 5
+    t.insert_many(keys)
+    t2 = CuckooTable.from_bytes(t.to_bytes(), n_buckets=1 << 8)
+    assert t2.contains_many(keys).all()
+
+
+@pytest.fixture(scope="module")
+def seen_df(spark):
+    return spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+
+
+def test_build_and_prefilter(spark, seen_df):
+    tables = build_cuckoo(seen_df, n_partitions=8, n_buckets=1 << 12)
+    tables.persist().count()
+    cand = spark.range(2500, 7500).select(F.xxhash64("id").alias("url_hash"))
+    tagged = cuckoo_prefilter(cand, tables, n_partitions=8, n_buckets=1 << 12)
+    seen_keys = {r["url_hash"] for r in seen_df.collect()}
+    rows = tagged.collect()
+    # zero false negatives: every truly-seen candidate is flagged
+    for r in rows:
+        if r["url_hash"] in seen_keys:
+            assert r["maybe_seen"] == 1
+    fp = sum(
+        1 for r in rows
+        if r["maybe_seen"] == 1 and r["url_hash"] not in seen_keys
+    )
+    assert fp / len(rows) < 0.05
+    tables.unpersist()
+
+
+def test_update_with_deletes(spark, seen_df):
+    tables = build_cuckoo(seen_df, n_partitions=8, n_buckets=1 << 12)
+    ins = spark.range(5000, 6000).select(F.xxhash64("id").alias("url_hash"))
+    dels = spark.range(0, 1000).select(F.xxhash64("id").alias("url_hash"))
+    updated = update_cuckoo(
+        tables, inserts=ins, deletes=dels, n_partitions=8, n_buckets=1 << 12
+    )
+    updated.persist().count()
+    probe = spark.range(0, 6000).select(F.xxhash64("id").alias("url_hash"))
+    tagged = {
+        r["url_hash"]: r["maybe_seen"]
+        for r in cuckoo_prefilter(
+            probe, updated, n_partitions=8, n_buckets=1 << 12
+        ).collect()
+    }
+    kept = spark.range(1000, 6000).select(F.xxhash64("id").alias("url_hash"))
+    for r in kept.collect():  # still-present keys: no false negatives
+        assert tagged[r["url_hash"]] == 1
+    deleted = spark.range(0, 1000).select(F.xxhash64("id").alias("url_hash"))
+    del_hits = sum(tagged[r["url_hash"]] for r in deleted.collect())
+    assert del_hits / 1000 < 0.05  # deletes actually took effect
+    updated.unpersist()
