@@ -359,6 +359,72 @@ WHERE NOT EXISTS (
 """
 
 
+def q_seen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo prefilter (deletable variant) + exact anti-join, after
+    an insert+delete update — must equal plain NOT EXISTS on the
+    post-update seen set."""
+    from scalpel_ts_spark.operators.cuckoo import (
+        build_cuckoo,
+        cuckoo_prefilter,
+        update_cuckoo,
+    )
+
+    orders = _tbl(spark, sf_dir, "orders")
+    customer = _tbl(spark, sf_dir, "customer")
+    cand = orders.select(F.col("o_custkey").alias("key")).distinct()
+    seen0 = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    adds = customer.filter(F.col("c_custkey") % 7 == 1).select(
+        F.col("c_custkey").alias("key")
+    )
+    dels = customer.filter(F.col("c_custkey") % 6 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    # filter state follows the exact seen set through insert+delete
+    tables = update_cuckoo(
+        build_cuckoo(seen0, hash_col="key", n_partitions=8),
+        inserts=adds, deletes=dels, hash_col="key", n_partitions=8,
+    )
+    seen = seen0.unionByName(adds).subtract(dels)  # EXCEPT DISTINCT
+    tagged = cuckoo_prefilter(cand, tables, hash_col="key", n_partitions=8)
+    definitely_new = tagged.filter(F.col("maybe_seen") == 0).drop("maybe_seen")
+    suspects = tagged.filter(F.col("maybe_seen") == 1).drop("maybe_seen")
+    verified = suspects.join(seen, "key", "left_anti")
+    return definitely_new.unionByName(verified)
+
+
+_SEEN_CUCKOO_SQL = """
+WITH seen AS (
+  SELECT c_custkey AS key FROM customer
+  WHERE (c_custkey % 3 = 0 OR c_custkey % 7 = 1) AND c_custkey % 6 <> 0)
+SELECT DISTINCT o_custkey AS key FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.key = o.o_custkey)
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (streaming-shaped)."""
+    events = _tbl(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return events.groupBy(
+        w["start"].alias("win_start"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+_EVENTS_WINDOW_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregate with partial map-side combine (round metrics)."""
     events = _tbl(spark, sf_dir, "events")
@@ -706,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "frontier_topk": q_frontier_topk,
         "seen_antijoin_bloom": q_seen_antijoin_bloom,
+        "seen_cuckoo_deletes": q_seen_cuckoo,
+        "events_window": q_events_window,
         "host_metrics": q_host_metrics,
         "broadcast_dim_join": q_broadcast_dim_join,
         "seen_compaction": q_seen_compaction,
@@ -734,6 +802,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _url_canonicalize_sql(),
         "frontier_topk": _FRONTIER_TOPK_SQL,
         "seen_antijoin_bloom": _SEEN_ANTIJOIN_SQL,
+        "seen_cuckoo_deletes": _SEEN_CUCKOO_SQL,
+        "events_window": _EVENTS_WINDOW_SQL,
         "host_metrics": _HOST_METRICS_SQL,
         "broadcast_dim_join": _BROADCAST_DIM_JOIN_SQL,
         "seen_compaction": _SEEN_COMPACTION_SQL,

@@ -189,7 +189,13 @@ def new_urls(
     if blooms is None:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
     tagged = bloom_prefilter(candidates, blooms, hash_col, **bloom_kwargs)
-    definitely_new = tagged.filter(F.col("maybe_seen") == 0).drop("maybe_seen")
-    suspects = tagged.filter(F.col("maybe_seen") == 1).drop("maybe_seen")
-    verified_new = suspects.join(seen.select(hash_col), hash_col, "left_anti")
-    return definitely_new.unionByName(verified_new)
+    # single anti-join: bloom-negative rows (no false negatives) can
+    # never satisfy the condition, so they pass through without a
+    # probe — and the probe subtree is evaluated exactly once (a
+    # two-branch filter+union would execute the cogroup twice)
+    s = seen.select(F.col(hash_col).alias("_seen_hash"))
+    return tagged.join(
+        s,
+        (F.col(hash_col) == F.col("_seen_hash")) & (F.col("maybe_seen") == 1),
+        "left_anti",
+    ).drop("maybe_seen")

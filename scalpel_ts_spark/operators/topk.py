@@ -37,6 +37,7 @@ def topk_per_group(
     salt_buckets: int = 16,
     prune_k: int | None = None,
     rank_col: str = "_rank",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Keep the top-``k`` rows per group under ``order_cols``.
 
@@ -65,8 +66,7 @@ def topk_per_group(
         .drop("_srank", "_salt")
     )
     w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
-    return (
-        pruned.withColumn(rank_col, F.row_number().over(w2))
-        .filter(F.col(rank_col) <= k_col)
-        .drop(rank_col)
+    out = pruned.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k_col
     )
+    return out if keep_rank else out.drop(rank_col)
