@@ -51,6 +51,35 @@ def _base_hash64(values) -> np.ndarray:
     )
 
 
+def _hash_strings(flat: np.ndarray) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string array.
+
+    pandas' SipHash with its fixed default key — deterministic across
+    processes/machines (never Python's seeded ``hash``), and ~50x the
+    throughput of a per-string hashlib loop.
+    """
+    return pd.util.hash_array(flat, categorize=False)
+
+
+def _flatten_batch(series: pd.Series):
+    """Flatten a Series of string-arrays into (flat, starts, row_len).
+
+    starts are reduceat boundaries for rows with len > 0.
+    """
+    arrs, lens = [], np.zeros(len(series), dtype=np.int64)
+    for i, s in enumerate(series):
+        if s is None or len(s) == 0:
+            continue
+        a = np.asarray(s, dtype=object)
+        lens[i] = len(a)
+        arrs.append(a)
+    if not arrs:
+        return None, None, lens
+    flat = np.concatenate(arrs)
+    starts = np.concatenate(([0], np.cumsum(lens[lens > 0])[:-1]))
+    return flat, starts, lens
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -138,16 +167,23 @@ def minhash_signature_udf(n_perm: int = 128, seed: int = 42):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(shingles: pd.Series) -> pd.Series:
-        out = []
         m31 = np.uint64(_MERSENNE31)
-        for sh in shingles:
-            if sh is None or len(sh) == 0:
+        flat, starts, lens = _flatten_batch(shingles)
+        if flat is None:
+            return pd.Series([None] * len(shingles))
+        h64 = _hash_strings(flat)
+        h = ((h64 ^ (h64 >> np.uint64(32))) & m31)[None, :]
+        # one (n_perm x total_shingles) pass per batch, min-reduced at
+        # document boundaries — no per-document Python loop
+        H = (A * h + B) % m31
+        sigs = np.minimum.reduceat(H, starts, axis=1).astype(np.int64)
+        out, col = [], 0
+        for n in lens:
+            if n == 0:
                 out.append(None)
-                continue
-            h64 = _base_hash64(sh)
-            h = ((h64 ^ (h64 >> np.uint64(32))) & m31)[None, :]
-            sig = ((A * h + B) % m31).min(axis=1)
-            out.append(sig.astype(np.int64))
+            else:
+                out.append(sigs[:, col])
+                col += 1
         return pd.Series(out)
 
     return _udf
@@ -220,10 +256,21 @@ def minhash_near_duplicates(
 
     Output (id_a, id_b, inter, uni), id_a < id_b.
     """
-    shingled = df.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # row-count repartition first: the shingle/minhash stages cost per
+    # ROW, but an upstream parquet scan partitions by bytes (one small
+    # file => one task) — same rule as the fetch/extract stage
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        # reused by the signature branch AND both verification joins —
+        # without a persist the shingle stage executes three times
+        .persist()
+    )
     with_sig = shingled.withColumn(
         "minhash", minhash_signature_udf(n_perm)(F.col("shingles"))
     )
@@ -257,16 +304,16 @@ def simhash_udf():
     def _udf(tokens: pd.Series) -> pd.Series:
         bitw = 1 << np.arange(64, dtype=np.uint64)
         out = np.zeros(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
-                out[i] = 0
-                continue
-            h = _base_hash64(toks)
-            bits = ((h[:, None] & bitw[None, :]) != 0).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = int(
-                ((votes > 0).astype(np.uint64) * bitw).sum().astype(np.uint64)
-            ) - (1 << 64) * int(votes[63] > 0)
+        flat, starts, lens = _flatten_batch(tokens)
+        if flat is None:
+            return pd.Series(out)
+        h = _hash_strings(flat)
+        signs = np.where(
+            (h[:, None] & bitw[None, :]) != 0, np.int32(1), np.int32(-1)
+        )
+        votes = np.add.reduceat(signs, starts, axis=0)  # (n_nonempty, 64)
+        words = ((votes > 0).astype(np.uint64) * bitw).sum(axis=1)
+        out[lens > 0] = words.astype(np.int64)  # two's-complement view
         return pd.Series(out)
 
     return _udf
@@ -302,7 +349,8 @@ def simhash_near_duplicates(
     assert max_hamming < 4, "4-band split is lossless only for hamming <= 3"
     from scalpel_ts_spark.functions.text import tokens as tokens_col
 
-    with_sim = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    with_sim = df.repartition(par, id_col).select(
         F.col(id_col), simhash_udf()(tokens_col(F.col(text_col))).alias("simhash")
     )
     bands = with_sim.select(
