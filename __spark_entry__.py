@@ -315,12 +315,15 @@ def q_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).alias("priority"),
         F.col("doc_id").alias("seq"),
     )
+    # k as a Column keeps this on the salted two-phase path (the
+    # north-rule strategy the crawl engine uses for per-host quotas)
     return topk_per_group(
         frontier,
         group_cols=["host_id"],
         order_cols=[F.col("priority"), F.col("seq")],
-        k=4,
+        k=F.lit(4),
         salt_buckets=8,
+        prune_k=4,
     ).select("host_id", "url", "priority", "seq")
 
 

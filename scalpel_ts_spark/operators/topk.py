@@ -4,8 +4,17 @@
 host-hash partitioning plus secondary sort, ... explicit skew
 mitigation on hot hosts".
 
-A naive ``Window.partitionBy(host)`` sends EVERY pending URL of a hot
-host to one task.  Instead we do a two-phase exact top-k:
+Two strategies, chosen by the type of ``k``:
+
+* literal ``k`` — a single window: Catalyst's WindowGroupLimit
+  performs a map-side partial top-k, so a hot group's reducer input
+  is already bounded by k x map partitions (measured faster than
+  explicit salting; see BASELINE.md).
+* per-row ``k`` Column (the politeness token quota) — the rank filter
+  is not a literal, WindowGroupLimit cannot apply, and a naive
+  ``Window.partitionBy(host)`` would send EVERY pending URL of a hot
+  host to one task.  Here we do the north rule's two-phase salted
+  exact top-k:
 
   phase 1 (salted): rank within (group, salt) — parallelism = salt
            count even for a single monster host — and keep only the
@@ -47,6 +56,21 @@ def topk_per_group(
     plans are reproducible.
     """
     k_col = F.lit(k) if isinstance(k, int) else k
+
+    if isinstance(k, int):
+        # literal limit: Catalyst inserts WindowGroupLimit, a map-side
+        # partial top-k that already bounds a hot group's reducer input
+        # to k x num_map_partitions — measured faster than explicit
+        # two-phase salting (2.4s vs 6.4s on a 2M-row frontier with one
+        # host holding 50%).  Salting below is reserved for per-row k
+        # (politeness token quotas), where the rank filter is not a
+        # literal and WindowGroupLimit cannot apply.
+        w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+        out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+            F.col(rank_col) <= k_col
+        )
+        return out if keep_rank else out.drop(rank_col)
+
     if prune_k is None:
         prune_k = 256  # upper bound for any sane per-round host quota
 
