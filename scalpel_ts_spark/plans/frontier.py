@@ -47,13 +47,16 @@ from scalpel_ts_spark.operators.extract import crawl_extract_udf
 from scalpel_ts_spark.operators.seen import build_bloom, new_urls, update_bloom
 from scalpel_ts_spark.operators.topk import topk_per_group
 from scalpel_ts_spark.sources.synthetic import (
+    fetch_robots_rules,
     fetch_udf,
     host_id_col,
-    robots_allowed_col,
+    page_id_col,
     seq_col,
 )
 
-TABLES = ("frontier", "seen", "host_state", "docs", "fetch_log", "bloom")
+TABLES = (
+    "frontier", "seen", "host_state", "docs", "fetch_log", "bloom", "robots"
+)
 
 
 class CrawlEngine:
@@ -145,6 +148,13 @@ class CrawlEngine:
             "host_state",
             0,
         )
+        self._write(
+            self.spark.createDataFrame(
+                [], "host_id long, disallow_mod int, disallow_rem int"
+            ),
+            "robots",
+            0,
+        )
         if self.use_bloom:
             self._write(
                 build_bloom(frontier, n_buckets=self.bloom_buckets), "bloom", 0
@@ -224,13 +234,33 @@ class CrawlEngine:
             fetched.unpersist()
             return {"round": r + 1, "fetched": 0, "stopped": True}
 
-        # 4. link discovery -> canonical candidate URLs (robots filter
-        #    applies at discovery; in-round dedup keeps min data-key)
-        discovered = (
+        # 4. link discovery -> canonical candidate URLs.  Robots rules
+        #    come from the per-host cache table: rules are "fetched"
+        #    only for hosts seen for the first time (cache misses are
+        #    a per-round metric), then broadcast-joined onto the
+        #    candidates — hosts are few relative to URLs, so the rule
+        #    side always broadcasts.
+        candidates_raw = (
             fetched.select(F.explode("ex.links").alias("raw_url"))
             .select(canonicalize_url(F.col("raw_url")).alias("url"))
             .withColumn("host_id", host_id_col(F.col("url")))
-            .filter(F.col("host_id").isNotNull() & robots_allowed_col(F.col("url")))
+            .filter(F.col("host_id").isNotNull())
+        )
+        robots_prev = self._read("robots", r)
+        new_hosts = (
+            candidates_raw.select("host_id")
+            .distinct()
+            .join(robots_prev.select("host_id"), "host_id", "left_anti")
+        )
+        robots = robots_prev.unionByName(fetch_robots_rules(new_hosts)).persist()
+        n_robots_fetched = robots.count() - robots_prev.count()
+        discovered = (
+            candidates_raw.join(F.broadcast(robots), "host_id")
+            .filter(
+                page_id_col(F.col("url")) % F.col("disallow_mod")
+                != F.col("disallow_rem")
+            )
+            .drop("disallow_mod", "disallow_rem")
             .dropDuplicates(["url"])
             .select(
                 "url",
@@ -289,6 +319,8 @@ class CrawlEngine:
         self._write(fresh.select("url", "url_hash"), "seen", nxt)
         self._write(next_frontier, "frontier", nxt)
         self._write(host_state_next, "host_state", nxt)
+        self._write(robots, "robots", nxt)
+        robots.unpersist()
         if self.use_bloom:
             # incremental: OR this round's new hashes into the previous
             # bitmaps partition-locally — never rescans seen history
@@ -307,6 +339,7 @@ class CrawlEngine:
             "round": nxt,
             "fetched": n_fetched,
             "discovered_new": n_new,
+            "robots_cache_misses": n_robots_fetched,
             "wall_sec": round(time.time() - t0, 3),
             "lineage": lineage,
         }

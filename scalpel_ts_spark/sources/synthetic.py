@@ -129,6 +129,19 @@ def robots_allowed_col(url):
     return page_id_col(url) % 13 != 7
 
 
+def fetch_robots_rules(hosts_df):
+    """Synthetic per-host robots.txt fetch: every host's rules parse
+    to 'disallow pages where p % 13 == 7' (matches
+    :func:`robots_disallowed`).  Production swaps this for a batched
+    HTTP GET of /robots.txt per host inside a pandas UDF — the cache
+    table and broadcast-join shape downstream are unchanged."""
+    return hosts_df.select(
+        "host_id",
+        F.lit(13).alias("disallow_mod"),
+        F.lit(7).alias("disallow_rem"),
+    )
+
+
 def seq_of(url: str) -> int:
     h, p = parse_url_ids(url)
     return h * 1_000_000_000 + p

@@ -82,3 +82,19 @@ def test_bloom_prefilter_is_transparent(spark, tmp_path_factory):
     sim = _sim()
     assert _engine_log(eng) == _sim_log(sim)
     assert {r.url for r in eng.seen().collect()} == sim.seen
+
+
+def test_robots_cache_fetches_each_host_once(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawl_robots"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False
+    )
+    eng.init(SEEDS)
+    metrics = eng.run(3)
+    misses = [m["robots_cache_misses"] for m in metrics]
+    assert misses[0] > 0
+    # cache property: total fetches == rows in the final rules table
+    # (a host's robots.txt is never fetched twice)
+    rules = spark.read.parquet(f"{wd}/robots/r{eng.round}")
+    assert rules.count() == sum(misses)
+    assert rules.select("host_id").distinct().count() == rules.count()
