@@ -748,8 +748,12 @@ def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_docs=False,
     )
     eng.init([make_url(h, 0) for h in range(3)])
-    eng.run(3)
-    return eng.fetch_log().select("round", "url", "host_id", "n_links")
+    eng.run(2)
+    # resume from the committed snapshot mid-crawl (north rule:
+    # resumable from checkpoint) and finish the third round
+    eng2 = CrawlEngine.resume(spark, workdir)
+    eng2.run(1)
+    return eng2.fetch_log().select("round", "url", "host_id", "n_links")
 
 
 # --------------------------------------------------------------------------
