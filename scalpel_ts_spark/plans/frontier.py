@@ -196,8 +196,12 @@ class CrawlEngine:
         new_state = refreshed.unionByName(idle)
 
         # 2. politeness-budgeted selection: salted top-k per host by
-        #    (priority, seq) with k = the host's token balance
-        budgeted = frontier.join(new_state, "host_id")
+        #    (priority, seq) with k = the host's token balance.
+        #    host_state is per-HOST (millions of rows at most) while
+        #    the frontier is per-URL (10^10 design point) — broadcast
+        #    the small side so the frontier is not shuffled for this
+        #    join
+        budgeted = frontier.join(F.broadcast(new_state), "host_id")
         candidates = topk_per_group(
             budgeted,
             group_cols=["host_id"],
@@ -240,11 +244,16 @@ class CrawlEngine:
         #    a per-round metric), then broadcast-joined onto the
         #    candidates — hosts are few relative to URLs, so the rule
         #    side always broadcasts.
+        # persisted: the regex-heavy canonicalize + host-extract pass
+        # over every discovered link feeds BOTH the new-host robots
+        # lookup and the discovery filter — without the persist it
+        # runs twice
         candidates_raw = (
             fetched.select(F.explode("ex.links").alias("raw_url"))
             .select(canonicalize_url(F.col("raw_url")).alias("url"))
             .withColumn("host_id", host_id_col(F.col("url")))
             .filter(F.col("host_id").isNotNull())
+            .persist()
         )
         robots_prev = self._read("robots", r)
         new_hosts = (
@@ -276,10 +285,13 @@ class CrawlEngine:
         blooms = self._read("bloom", r) if self.use_bloom else None
         fresh = new_urls(discovered, seen, blooms).persist()
         n_new = fresh.count()
+        candidates_raw.unpersist()
 
-        # 6. next frontier = pending - fetched + fresh
+        # 6. next frontier = pending - fetched + fresh.  The fetched
+        #    set is bounded by the round budget (≪ frontier), so the
+        #    anti-join broadcasts it instead of shuffling the frontier
         next_frontier = frontier.join(
-            fetched.select("url_hash"), "url_hash", "left_anti"
+            F.broadcast(fetched.select("url_hash")), "url_hash", "left_anti"
         ).unionByName(fresh)
 
         # 7. spend tokens
