@@ -138,9 +138,19 @@ def fingerprint_sql(col: str) -> str:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the unit set for Jaccard dedup)."""
+    """Distinct word n-gram shingles (the unit set for Jaccard dedup).
+
+    Degenerate guard: with fewer than ``n`` tokens the result is the
+    empty array.  (``F.sequence(1, 0)`` would auto-step DOWN to
+    ``[1, 0]`` and the subsequent ``slice(toks, 0, n)`` throws
+    INVALID_PARAMETER_VALUE.START — and diverges from the DuckDB
+    mirror, whose ``range(1, 0+1)`` is empty.)
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    n_grams = F.size(toks) - F.lit(n - 1)
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(grams)
 

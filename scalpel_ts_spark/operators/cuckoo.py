@@ -44,6 +44,30 @@ _FP_SEED = np.uint64(0x9E3779B97F4A7C15)
 _MAX_KICKS = 500
 
 
+class CuckooSaturationError(RuntimeError):
+    """A partition's cuckoo table could not hold every key.
+
+    Dropped fingerprints would be silent FALSE NEGATIVES — callers of
+    :func:`cuckoo_prefilter` rely on "no false negatives" to let
+    ``maybe_seen = 0`` rows skip the exact anti-join, so saturation
+    must fail loudly instead of corrupting the seen set.  Fix by
+    raising ``n_buckets``/``bucket_size`` (capacity per partition) or
+    ``n_partitions`` (keys per partition).
+    """
+
+
+class CuckooDeleteError(RuntimeError):
+    """A delete targeted a key whose fingerprint is absent.
+
+    The engine only deletes keys it previously inserted; a miss means
+    either misuse or an earlier (now impossible, see
+    :class:`CuckooSaturationError`) dropped insert.  Deleting a
+    never-inserted key is also unsafe in general: if its fingerprint
+    collides with another key's, the eviction creates a false negative
+    for that other key — hence deletes are validated, not best-effort.
+    """
+
+
 class CuckooTable:
     """In-memory cuckoo filter over uint16 fingerprints (one
     partition's state; (de)serialized to a binary column)."""
@@ -176,11 +200,16 @@ def build_cuckoo(
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"part": [], "table": []})
+        part = int(pdf["part"].iloc[0])
         t = CuckooTable(n_buckets, bucket_size)
-        t.insert_many(pdf["url_hash"].to_numpy(dtype=np.int64))
-        return pd.DataFrame(
-            {"part": [int(pdf["part"].iloc[0])], "table": [t.to_bytes()]}
-        )
+        failed = t.insert_many(pdf["url_hash"].to_numpy(dtype=np.int64))
+        if failed:
+            raise CuckooSaturationError(
+                f"cuckoo partition {part} saturated: {failed}/{len(pdf)} "
+                f"fingerprints dropped (capacity ~{n_buckets * bucket_size} "
+                f"slots); raise n_buckets/bucket_size or n_partitions"
+            )
+        return pd.DataFrame({"part": [part], "table": [t.to_bytes()]})
 
     return (
         _partitioned(seen, hash_col, n_partitions)
@@ -223,9 +252,20 @@ def update_cuckoo(
             ins_h = delta_pdf.loc[delta_pdf["op"] == 1, "url_hash"]
             del_h = delta_pdf.loc[delta_pdf["op"] == -1, "url_hash"]
             if len(ins_h):
-                t.insert_many(ins_h.to_numpy(dtype=np.int64))
+                failed = t.insert_many(ins_h.to_numpy(dtype=np.int64))
+                if failed:
+                    raise CuckooSaturationError(
+                        f"cuckoo partition {part} saturated on update: "
+                        f"{failed}/{len(ins_h)} fingerprints dropped; raise "
+                        f"n_buckets/bucket_size or n_partitions"
+                    )
             if len(del_h):
-                t.delete_many(del_h.to_numpy(dtype=np.int64))
+                misses = t.delete_many(del_h.to_numpy(dtype=np.int64))
+                if misses:
+                    raise CuckooDeleteError(
+                        f"cuckoo partition {part}: {misses}/{len(del_h)} "
+                        f"deletes targeted keys never inserted"
+                    )
         return pd.DataFrame({"part": [part], "table": [t.to_bytes()]})
 
     return (

@@ -179,23 +179,33 @@ def new_urls(
     seen: DataFrame,
     blooms: DataFrame | None = None,
     hash_col: str = "url_hash",
+    persisted_out: list | None = None,
     **bloom_kwargs,
 ) -> DataFrame:
     """candidates ∖ seen — exact, with optional bloom prefilter.
 
     The exact ``left_anti`` join is the authority; when blooms are
-    supplied, only bloom-positive rows pay for it.
+    supplied, ONLY bloom-positive rows pay for it.  At 10^10 URLs the
+    point of the bloom is that genuinely-new URLs (~all of the
+    discovery volume) never enter the anti-join exchange at all:
+    the tagged frame is persisted once, ``maybe_seen = 0`` rows pass
+    straight to the union, and the anti-join shuffles just the suspect
+    subset (bloom-positive: true seen + the small FP fraction).
+    A single conditional anti-join (``ON hash = seen AND maybe_seen =
+    1``) would be wrong-shaped — anti-join semantics force every tagged
+    row through the exchange since non-matching rows must be kept.
+
+    ``persisted_out``: callers running inside a loop (the crawl engine)
+    pass a list; the internal persisted frame is appended so it can be
+    unpersisted after the result is materialized.  One-shot callers may
+    omit it (the cache dies with the session).
     """
     if blooms is None:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
-    tagged = bloom_prefilter(candidates, blooms, hash_col, **bloom_kwargs)
-    # single anti-join: bloom-negative rows (no false negatives) can
-    # never satisfy the condition, so they pass through without a
-    # probe — and the probe subtree is evaluated exactly once (a
-    # two-branch filter+union would execute the cogroup twice)
-    s = seen.select(F.col(hash_col).alias("_seen_hash"))
-    return tagged.join(
-        s,
-        (F.col(hash_col) == F.col("_seen_hash")) & (F.col("maybe_seen") == 1),
-        "left_anti",
-    ).drop("maybe_seen")
+    tagged = bloom_prefilter(candidates, blooms, hash_col, **bloom_kwargs).persist()
+    if persisted_out is not None:
+        persisted_out.append(tagged)
+    definite_new = tagged.filter(F.col("maybe_seen") == 0).drop("maybe_seen")
+    suspects = tagged.filter(F.col("maybe_seen") == 1).drop("maybe_seen")
+    checked = suspects.join(seen.select(hash_col), hash_col, "left_anti")
+    return definite_new.unionByName(checked)

@@ -283,8 +283,17 @@ class CrawlEngine:
         # 5. seen-set dedup: bloom prefilter + exact anti-join
         seen = self._seen_union(r)
         blooms = self._read("bloom", r) if self.use_bloom else None
-        fresh = new_urls(discovered, seen, blooms).persist()
+        bloom_caches: list = []
+        fresh = new_urls(
+            discovered,
+            seen,
+            blooms,
+            n_buckets=self.bloom_buckets,
+            persisted_out=bloom_caches,
+        ).persist()
         n_new = fresh.count()
+        for cached in bloom_caches:
+            cached.unpersist()
         candidates_raw.unpersist()
 
         # 6. next frontier = pending - fetched + fresh.  The fetched

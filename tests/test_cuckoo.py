@@ -80,3 +80,33 @@ def test_update_with_deletes(spark, seen_df):
     del_hits = sum(tagged[r["url_hash"]] for r in deleted.collect())
     assert del_hits / 1000 < 0.05  # deletes actually took effect
     updated.unpersist()
+
+
+def test_build_raises_on_saturation(spark):
+    from scalpel_ts_spark.operators.cuckoo import CuckooSaturationError
+
+    # 4000 keys into one partition of 256*4 = 1024 slots must not
+    # silently drop fingerprints (dropped = false negatives downstream)
+    seen = spark.range(0, 4000).select(F.xxhash64("id").alias("url_hash"))
+    with pytest.raises(Exception) as exc_info:
+        build_cuckoo(seen, n_partitions=1, n_buckets=1 << 8).collect()
+    assert "CuckooSaturationError" in str(exc_info.value) or isinstance(
+        exc_info.value, CuckooSaturationError
+    )
+
+
+def test_update_raises_on_delete_of_never_inserted_key(spark):
+    from scalpel_ts_spark.operators.cuckoo import CuckooDeleteError
+
+    seen = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
+    tables = build_cuckoo(seen, n_partitions=1, n_buckets=1 << 10)
+    bogus = spark.range(10_000, 10_050).select(
+        F.xxhash64("id").alias("url_hash")
+    )
+    with pytest.raises(Exception) as exc_info:
+        update_cuckoo(
+            tables, deletes=bogus, n_partitions=1, n_buckets=1 << 10
+        ).collect()
+    assert "CuckooDeleteError" in str(exc_info.value) or isinstance(
+        exc_info.value, CuckooDeleteError
+    )

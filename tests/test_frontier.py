@@ -98,3 +98,20 @@ def test_robots_cache_fetches_each_host_once(spark, tmp_path_factory):
     rules = spark.read.parquet(f"{wd}/robots/r{eng.round}")
     assert rules.count() == sum(misses)
     assert rules.select("host_id").distinct().count() == rules.count()
+
+
+def test_non_default_bloom_buckets_match_simulator(
+    spark, tmp_path_factory, sim_state
+):
+    # regression: new_urls must probe with the SAME bucket count the
+    # bitmaps were built with, or already-seen URLs re-enter the
+    # frontier as bloom false negatives (ADVICE r1)
+    wd = str(tmp_path_factory.mktemp("crawl_bb7"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4,
+        bloom_buckets=7, write_docs=False,
+    )
+    eng.init(SEEDS)
+    eng.run(ROUNDS)
+    assert _engine_log(eng) == _sim_log(sim_state)
+    assert {r.url for r in eng.seen().collect()} == sim_state.seen

@@ -188,3 +188,30 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
+
+
+def test_word_shingles_degenerate_inputs(spark):
+    # fewer than n tokens => empty shingle set, NOT a sequence() crash
+    # (Spark sequence(1, 0) auto-steps down; guarded in word_shingles)
+    df = spark.createDataFrame(
+        [(0, "single"), (1, ""), (2, "two words"), (3, "exactly three tokens")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", T.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert rows[0] == []
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == ["exactly three tokens"]
+
+
+def test_media_features_bounds_arrow_batches(spark):
+    refs = spark.createDataFrame([("media://h0/p0/img0",)], ["media_ref"])
+    media_features(attach_media_blob(refs), max_records_per_batch=64).collect()
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "64"
+    )
