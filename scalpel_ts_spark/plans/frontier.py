@@ -16,15 +16,17 @@ One crawl round is one Spark job pipeline over snapshot tables:
     write snapshots: docs+, fetch_log+, seen+, frontier', host_state',
                      bloom', manifest (metrics + per-partition lineage)
 
-Storage is an Iceberg-shaped snapshot layout on plain parquet (the
-sandbox has no Iceberg jars): every table is versioned by round under
-``workdir/<table>/r<N>``, the ``seen`` table is append-only (full set =
-union of deltas), and ``manifest.json`` records per-round snapshot
-paths, metrics and lineage — giving atomic-at-round granularity and
-resume-from-any-round, which is exactly the Iceberg snapshot/
-overwritePartitions pattern.  On a real cluster each write maps to
-``writeTo(...).overwritePartitions()`` / ``append()`` on tables
-partitioned by ``bucket(url_hash)`` / ``bucket(host_hash)``.
+Storage goes through the :mod:`scalpel_ts_spark.plans.storage` seam:
+the sandbox uses ``ParquetSnapshotStorage`` (every table versioned by
+round under ``workdir/<table>/r<N>``, manifest as JSON), a cluster uses
+``IcebergSnapshotStorage`` (``writeTo(...).overwritePartitions()`` on
+tables partitioned by round + ``bucket(url_hash)`` /
+``bucket(host_id)``) — the engine code is identical.  The ``seen``
+table is append-only deltas with a FULL compacted snapshot rewritten
+every ``compact_every`` rounds, so per-round scan cost and file count
+stay bounded for arbitrarily long crawls; the manifest records
+per-round metrics, per-partition lineage, and which seen snapshots are
+full — giving atomic-at-round granularity and resume-from-any-round.
 
 Determinism: every ordering/selection key (priority, seq, url_hash) is
 derived from the data, never from task scheduling — so the engine
@@ -34,9 +36,6 @@ at any parallelism, resumed or not (tests/test_frontier.py).
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +45,7 @@ from scalpel_ts_spark.functions.url import canonicalize_url, url_hash
 from scalpel_ts_spark.operators.extract import crawl_extract_udf
 from scalpel_ts_spark.operators.seen import build_bloom, new_urls, update_bloom
 from scalpel_ts_spark.operators.topk import topk_per_group
+from scalpel_ts_spark.plans.storage import ParquetSnapshotStorage, SnapshotStorage
 from scalpel_ts_spark.sources.synthetic import (
     fetch_robots_rules,
     fetch_udf,
@@ -71,6 +71,8 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_buckets: int = 32,
         write_docs: bool = True,
+        compact_every: int = 8,
+        storage: SnapshotStorage | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -81,8 +83,14 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
         self.write_docs = write_docs
+        self.compact_every = compact_every
+        self.storage = storage or ParquetSnapshotStorage(spark, workdir)
         self.round = 0
-        self.manifest = {"config": self._config(), "rounds": []}
+        self.manifest = {
+            "config": self._config(),
+            "rounds": [],
+            "seen_full_rounds": [0],
+        }
 
     def _config(self):
         return {
@@ -92,31 +100,35 @@ class CrawlEngine:
             "salt_buckets": self.salt_buckets,
             "use_bloom": self.use_bloom,
             "bloom_buckets": self.bloom_buckets,
+            "compact_every": self.compact_every,
         }
 
-    # --- snapshot IO -----------------------------------------------------
-
-    def _path(self, table: str, rnd: int) -> str:
-        return os.path.join(self.workdir, table, f"r{rnd}")
+    # --- snapshot IO (thin delegates onto the storage seam) ---------------
 
     def _write(self, df: DataFrame, table: str, rnd: int):
-        df.write.mode("overwrite").parquet(self._path(table, rnd))
+        self.storage.write(df, table, rnd)
 
     def _read(self, table: str, rnd: int) -> DataFrame:
-        return self.spark.read.parquet(self._path(table, rnd))
+        return self.storage.read(table, rnd)
+
+    def _seen_full_rounds(self) -> list:
+        return self.manifest.get("seen_full_rounds", [0])
 
     def _seen_union(self, upto: int) -> DataFrame:
-        """Full seen set = union of append-only deltas r0..r<upto>.
+        """Full seen set = latest compacted (full) snapshot <= upto,
+        plus the append-only deltas after it.
 
-        (Iceberg equivalent: a single table scan; periodic compaction
-        would bound the file count — at sandbox round counts the union
-        read is fine.)"""
-        paths = [self._path("seen", r) for r in range(upto + 1)]
-        return self.spark.read.parquet(*paths)
+        Every ``compact_every`` rounds the engine rewrites a FULL seen
+        snapshot (manifest records which rounds are full), so the
+        number of snapshots this reads — and hence file count and scan
+        cost — is bounded by ``compact_every`` regardless of crawl
+        length.  (Iceberg equivalent: data-file compaction /
+        rewrite_data_files on the seen table.)"""
+        base = max(r for r in self._seen_full_rounds() if r <= upto)
+        return self.storage.read_union("seen", range(base, upto + 1))
 
     def _save_manifest(self):
-        with open(os.path.join(self.workdir, "manifest.json"), "w") as f:
-            json.dump(self.manifest, f, indent=1)
+        self.storage.save_manifest(self.manifest)
 
     # --- lifecycle --------------------------------------------------------
 
@@ -130,9 +142,7 @@ class CrawlEngine:
         """Round-0 snapshot from a DataFrame with a ``url`` column
         (the scale path: a 10^10-URL seed list never goes through the
         driver)."""
-        if os.path.exists(self.workdir):
-            shutil.rmtree(self.workdir)
-        os.makedirs(self.workdir)
+        self.storage.reset()
         seed_df = seeds_df.select(canonicalize_url(F.col("url")).alias("url"))
         frontier = seed_df.select(
             "url",
@@ -161,15 +171,21 @@ class CrawlEngine:
             )
         self.round = 0
         self.manifest["rounds"] = []
+        self.manifest["seen_full_rounds"] = [0]
         self._save_manifest()
 
     @classmethod
-    def resume(cls, spark: SparkSession, workdir: str) -> "CrawlEngine":
+    def resume(
+        cls,
+        spark: SparkSession,
+        workdir: str,
+        storage: SnapshotStorage | None = None,
+    ) -> "CrawlEngine":
         """Reopen an engine from its latest committed snapshot."""
-        with open(os.path.join(workdir, "manifest.json")) as f:
-            manifest = json.load(f)
+        storage = storage or ParquetSnapshotStorage(spark, workdir)
+        manifest = storage.load_manifest()
         cfg = manifest["config"]
-        eng = cls(spark, workdir, **{k: cfg[k] for k in cfg})
+        eng = cls(spark, workdir, storage=storage, **{k: cfg[k] for k in cfg})
         eng.manifest = manifest
         eng.round = len(manifest["rounds"])
         return eng
@@ -337,7 +353,19 @@ class CrawlEngine:
             "fetch_log",
             nxt,
         )
-        self._write(fresh.select("url", "url_hash"), "seen", nxt)
+        seen_delta = fresh.select("url", "url_hash")
+        last_full = max(self._seen_full_rounds())
+        if nxt - last_full >= self.compact_every:
+            # compaction: every compact_every rounds, rewrite the FULL
+            # seen set as ONE snapshot (hash-partitioned) so the delta
+            # chain — file count and scan cost per round — is bounded
+            # for arbitrarily long crawls
+            par = self.spark.sparkContext.defaultParallelism
+            full = seen.select("url", "url_hash").unionByName(seen_delta)
+            self._write(full.repartition(par, "url_hash"), "seen", nxt)
+            self.manifest.setdefault("seen_full_rounds", [0]).append(nxt)
+        else:
+            self._write(seen_delta, "seen", nxt)
         self._write(next_frontier, "frontier", nxt)
         self._write(host_state_next, "host_state", nxt)
         self._write(robots, "robots", nxt)
@@ -381,12 +409,12 @@ class CrawlEngine:
     # --- readers ------------------------------------------------------------
 
     def fetch_log(self) -> DataFrame:
-        paths = [self._path("fetch_log", r + 1) for r in range(self.round)]
-        return self.spark.read.parquet(*paths)
+        return self.storage.read_union(
+            "fetch_log", range(1, self.round + 1)
+        )
 
     def seen(self) -> DataFrame:
         return self._seen_union(self.round)
 
     def docs(self) -> DataFrame:
-        paths = [self._path("docs", r + 1) for r in range(self.round)]
-        return self.spark.read.parquet(*paths)
+        return self.storage.read_union("docs", range(1, self.round + 1))

@@ -1,0 +1,178 @@
+"""Snapshot storage seam for the crawl engine.
+
+The engine versions every table by round (``frontier r0, r1, ...``)
+and needs atomic-at-round commits plus resume-from-any-round.  This
+module makes the storage layout a small interface so the production
+mapping is code, not comments:
+
+* :class:`ParquetSnapshotStorage` — the sandbox implementation: one
+  parquet directory per (table, round) under a workdir, manifest as a
+  JSON file.  Atomicity granularity is the round (the manifest is
+  written only after every table of the round committed).
+* :class:`IcebergSnapshotStorage` — the cluster implementation: one
+  Iceberg table per logical table, partitioned by a ``round`` column
+  (plus ``bucket(url_hash)`` / ``bucket(host_hash)`` sub-partitioning
+  declared at table-creation time), written via
+  ``writeTo(...).overwritePartitions()`` so each round commit is one
+  atomic Iceberg snapshot; the manifest lives in a single-row-per-round
+  table.  Construction fails fast with a clear message when no Iceberg
+  catalog is configured (the sandbox has no Iceberg jars), but every
+  code path is the real production call sequence.
+
+Both implement the same five methods the engine uses:
+``write / read / read_union / save_manifest / load_manifest``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Protocol, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotStorage(Protocol):
+    def write(self, df: DataFrame, table: str, rnd: int) -> None: ...
+
+    def read(self, table: str, rnd: int) -> DataFrame: ...
+
+    def read_union(self, table: str, rounds: Sequence[int]) -> DataFrame: ...
+
+    def save_manifest(self, manifest: dict) -> None: ...
+
+    def load_manifest(self) -> dict: ...
+
+    def reset(self) -> None:
+        """Drop all state (fresh-crawl initialization)."""
+        ...
+
+
+class ParquetSnapshotStorage:
+    """Iceberg-shaped snapshot layout on plain parquet:
+    ``workdir/<table>/r<N>`` per round, ``workdir/manifest.json``."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+
+    def _path(self, table: str, rnd: int) -> str:
+        return os.path.join(self.workdir, table, f"r{rnd}")
+
+    def write(self, df: DataFrame, table: str, rnd: int) -> None:
+        df.write.mode("overwrite").parquet(self._path(table, rnd))
+
+    def read(self, table: str, rnd: int) -> DataFrame:
+        return self.spark.read.parquet(self._path(table, rnd))
+
+    def read_union(self, table: str, rounds: Sequence[int]) -> DataFrame:
+        return self.spark.read.parquet(
+            *[self._path(table, r) for r in rounds]
+        )
+
+    def save_manifest(self, manifest: dict) -> None:
+        with open(os.path.join(self.workdir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def load_manifest(self) -> dict:
+        with open(os.path.join(self.workdir, "manifest.json")) as f:
+            return json.load(f)
+
+    def reset(self) -> None:
+        if os.path.exists(self.workdir):
+            shutil.rmtree(self.workdir)
+        os.makedirs(self.workdir)
+
+
+class IcebergSnapshotStorage:
+    """Production storage: one Iceberg table per logical table with an
+    identity ``round`` partition; a round commit is one atomic
+    ``overwritePartitions`` snapshot, and resume reads any committed
+    round by partition-pruned scan.
+
+    Table DDL (issued lazily on first write) also declares the north
+    rule's hash bucketing, e.g.::
+
+        CREATE TABLE <ns>.seen (url string, url_hash bigint, round int)
+        USING iceberg PARTITIONED BY (round, bucket(512, url_hash))
+
+    so the bloom buckets, the seen anti-join, and the table layout all
+    co-partition on ``url_hash``.
+    """
+
+    #: per-table extra bucket spec appended to `round` partitioning
+    BUCKET_SPECS = {
+        "seen": "bucket(512, url_hash)",
+        "frontier": "bucket(512, url_hash)",
+        "host_state": "bucket(64, host_id)",
+    }
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if impl is None:
+            raise RuntimeError(
+                f"no Iceberg catalog configured: set spark.sql.catalog."
+                f"{catalog}=org.apache.iceberg.spark.SparkCatalog (plus "
+                f"warehouse/type confs) and add the iceberg-spark-runtime "
+                f"jar; the sandbox has neither, use ParquetSnapshotStorage"
+            )
+        self._known: set[str] = set()
+
+    def _name(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def _ensure(self, df: DataFrame, table: str) -> None:
+        if table in self._known:
+            return
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        extra = self.BUCKET_SPECS.get(table)
+        part = f"round{', ' + extra if extra else ''}"
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._name(table)} ({cols}) "
+            f"USING iceberg PARTITIONED BY ({part})"
+        )
+        self._known.add(table)
+
+    def write(self, df: DataFrame, table: str, rnd: int) -> None:
+        out = df.withColumn("round", F.lit(rnd).cast("int"))
+        self._ensure(out, table)
+        # atomic snapshot commit; re-running a failed round overwrites
+        # only that round's partitions (idempotent resume)
+        out.writeTo(self._name(table)).overwritePartitions()
+
+    def read(self, table: str, rnd: int) -> DataFrame:
+        return (
+            self.spark.table(self._name(table))
+            .where(F.col("round") == rnd)
+            .drop("round")
+        )
+
+    def read_union(self, table: str, rounds: Sequence[int]) -> DataFrame:
+        return (
+            self.spark.table(self._name(table))
+            .where(F.col("round").isin(list(rounds)))
+            .drop("round")
+        )
+
+    def save_manifest(self, manifest: dict) -> None:
+        df = self.spark.createDataFrame(
+            [(json.dumps(manifest),)], "manifest string"
+        )
+        self._ensure(df.withColumn("round", F.lit(0)), "manifest")
+        df.writeTo(self._name("manifest")).createOrReplace()
+
+    def load_manifest(self) -> dict:
+        row = self.spark.table(self._name("manifest")).head()
+        return json.loads(row["manifest"])
+
+    def reset(self) -> None:
+        for t in list(self._known) + list(self.BUCKET_SPECS):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._name(t)}")
+        self._known.clear()

@@ -115,3 +115,27 @@ def test_non_default_bloom_buckets_match_simulator(
     eng.run(ROUNDS)
     assert _engine_log(eng) == _sim_log(sim_state)
     assert {r.url for r in eng.seen().collect()} == sim_state.seen
+
+
+def test_seen_compaction_bounds_delta_chain(spark, tmp_path_factory, sim_state):
+    # compaction on (every 2 rounds): results identical, and the seen
+    # read is bounded to <= compact_every snapshots regardless of
+    # crawl length
+    wd = str(tmp_path_factory.mktemp("crawl_compact"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4,
+        compact_every=2, write_docs=False,
+    )
+    eng.init(SEEDS)
+    eng.run(2)
+    # resume across a compaction boundary too
+    eng2 = CrawlEngine.resume(spark, wd)
+    assert eng2.compact_every == 2
+    eng2.run(ROUNDS - 2)
+    assert _engine_log(eng2) == _sim_log(sim_state)
+    assert {r.url for r in eng2.seen().collect()} == sim_state.seen
+    fulls = eng2.manifest["seen_full_rounds"]
+    assert fulls == [0, 2, 4]
+    # the union read spans only rounds since the last full snapshot
+    base = max(r for r in fulls if r <= eng2.round)
+    assert eng2.round - base < 2
