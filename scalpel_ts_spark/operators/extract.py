@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 
 from scalpel_ts_spark.core.scraper import NOTHING, Scraper
 from scalpel_ts_spark.core.tag_spec import TagSpec, tags_to_spec
-from scalpel_ts_spark.core.tokenizer import TagOpen, Text, parse
+from scalpel_ts_spark.core.tokenizer import TagClose, TagOpen, Text, parse
 
 # The interleaved text+media span schema (BASELINE.json input_hint).
 SPAN_SCHEMA = ArrayType(
@@ -148,18 +148,181 @@ CRAWL_EXTRACT_SCHEMA = StructType(
 )
 
 
+def crawl_extract_tokens(tokens):
+    """One flat pass over a token stream computing the crawl triple
+    (spans, links, title) — semantically identical to running
+    ``SpanExtractor``, ``attrs('href', tag('a'))`` and
+    ``text(tag('title'))`` over the TagSpec, but without building the
+    forest or walking it three times.
+
+    Why this is sound (asserted over the golden corpus + random HTML in
+    tests/test_extract_spark.py):
+
+    * every ``TagOpen`` becomes exactly one forest node, and the DFS
+      emits single-tag matches in document order — so "all ``a``
+      matches" == "all ``TagOpen('a')`` tokens in order";
+    * the ``attrs`` fold (Scraper.ts:296-310) returns the FIRST
+      href-bearing ``TagOpen`` anywhere in each match's span
+      ``[open, open+closeOffset]`` (so an href-less ``<a>`` can pick
+      up a descendant's href): emulated with a per-name LIFO of
+      pending anchors, each resolved by the first href-carrying open
+      seen while it is still on the stack, finalized at its matching
+      close; an anchor still open at EOF has span ``[open, open]``
+      and therefore counts only its own href.  Two deliberate
+      deviations, both scoped to link DISCOVERY semantics (the crawl
+      consumes links through canonicalize -> dedup, where order and
+      multiplicity are immaterial): (a) nested anchors emit in
+      document order rather than the reference cons-fold's
+      (node, later-siblings, children) order; (b) malformed
+      cross-nesting (fixTree hoist + liftSiblings overlap) can make
+      the reference emit the SAME anchor node twice — this pass emits
+      each anchor exactly once.  The link value SET is always
+      identical (50k-case fuzz + property tests), sibling anchors in
+      well-formed HTML are exactly identical, and the generic DFS
+      path keeps full reference behavior;
+    * ``SpanExtractor`` already folds over ``spec.tags`` (token order)
+      and never consults the hierarchy;
+    * ``text(tag('title'))`` concatenates Text tokens in the first
+      title's span; the matching close under the reference's per-name
+      LIFO annotation (TagInfo.ts:228-237) is found by depth-counting
+      ``title`` opens/closes, and an unclosed title has span
+      ``[open, open]`` => ``''``.
+
+    This is the crawl engine's hot path: the tokenizer remains the
+    single parsing authority; only the O(nodes x selectors) DFS and the
+    O(n log n) forest build are bypassed for this fixed plan.
+    """
+    spans: list = []
+    link_slots: list = []  # one slot per <a> open, document order
+    a_stack: list = []  # [slot_idx, own_href, first_href_in_span]
+    title = NOTHING
+    title_parts: list = []
+    collecting = False
+    title_seen = False
+    pending = 0
+    ordinal = 0
+    for tok in tokens:
+        k = type(tok)
+        if k is Text:
+            spans.append(
+                {
+                    "kind": "text",
+                    "text": tok.text,
+                    "media_ref": None,
+                    "offset": ordinal,
+                }
+            )
+            ordinal += 1
+            if collecting:
+                title_parts.append(tok.text)
+        elif k is TagOpen:
+            name = tok.name
+            href = None
+            for ak, av in tok.attributes:
+                if ak == "href":
+                    href = av
+                    break
+            if name == "a":
+                a_stack.append([len(link_slots), href, None])
+                link_slots.append(None)
+            if href is not None:
+                # first href-bearing open in each still-open span wins
+                for entry in a_stack:
+                    if entry[2] is None:
+                        entry[2] = href
+            if name == "title":
+                if not title_seen:
+                    title_seen = True
+                    collecting = True
+                    pending = 1
+                elif collecting:
+                    pending += 1
+            else:
+                media = MEDIA_KINDS.get(name)
+                if media is not None:
+                    src = None
+                    for ak, av in tok.attributes:
+                        if ak == "src":
+                            src = av
+                            break
+                    spans.append(
+                        {
+                            "kind": media,
+                            "text": None,
+                            "media_ref": src,
+                            "offset": ordinal,
+                        }
+                    )
+                    ordinal += 1
+        elif k is TagClose:
+            name = tok.name
+            if name == "a":
+                if a_stack:
+                    slot, _own, first = a_stack.pop()
+                    link_slots[slot] = first
+            elif collecting and name == "title":
+                pending -= 1
+                if pending == 0:
+                    collecting = False
+                    title = "".join(title_parts)
+    for slot, own, _first in a_stack:
+        # unclosed anchor: span is [open, open] — only its own href
+        link_slots[slot] = own
+    if collecting:
+        # first title never closed: closeOffset is None, span is
+        # [open, open], so the text fold over it is empty
+        title = ""
+    links = [v for v in link_slots if v is not None]
+    return spans, links, title
+
+
 def crawl_extract_udf(link_scraper: Optional[Scraper] = None):
     """(url, html) -> struct(spans, links, title) in ONE parse per doc.
 
     links are href attributes of anchor tags (reference combinator
     ``attrs('href', tag('a'))``) resolved against the document URL;
-    title is ``text(tag('title'))``.
+    title is ``text(tag('title'))``.  The default plan runs the
+    fused flat pass (:func:`crawl_extract_tokens`); passing a custom
+    ``link_scraper`` takes the generic TagSpec/DFS path.
     """
+    if link_scraper is not None:
+        return _crawl_extract_generic_udf(link_scraper)
+
+    @F.pandas_udf(CRAWL_EXTRACT_SCHEMA)
+    def _udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        spans_out, links_out, title_out = [], [], []
+        for u, doc in zip(url, html):
+            if doc is None:
+                spans_out.append(None)
+                links_out.append(None)
+                title_out.append(None)
+                continue
+            spans, raw_links, title = crawl_extract_tokens(parse(doc))
+            # absolute links (the overwhelming majority of crawl
+            # discoveries) skip urllib's parse/unparse round-trip —
+            # urljoin(base, absolute) is the identity
+            links = [
+                link
+                if link.startswith(("http://", "https://"))
+                else urljoin(u, link)
+                for link in raw_links
+            ]
+            spans_out.append(spans)
+            links_out.append(links)
+            title_out.append(None if title is NOTHING else title)
+        return pd.DataFrame(
+            {"spans": spans_out, "links": links_out, "title": title_out}
+        )
+
+    return _udf
+
+
+def _crawl_extract_generic_udf(link_scraper: Scraper):
+    """Generic-plan variant: arbitrary link scraper over the TagSpec."""
     import scalpel_ts_spark.core.scraper as S
     import scalpel_ts_spark.core.select as Sel
 
     span_scraper = SpanExtractor()
-    links_scraper = link_scraper or S.attrs("href", Sel.tag("a"))
     title_scraper = S.text(Sel.tag("title"))
 
     @F.pandas_udf(CRAWL_EXTRACT_SCHEMA)
@@ -173,7 +336,7 @@ def crawl_extract_udf(link_scraper: Optional[Scraper] = None):
                 continue
             spec = tags_to_spec(parse(doc))
             spans = span_scraper.run(spec)
-            raw_links = links_scraper.run(spec)
+            raw_links = link_scraper.run(spec)
             title = title_scraper.run(spec)
             if raw_links is NOTHING:
                 links = []

@@ -92,3 +92,109 @@ def test_canonicalize_idempotent_batch(spark):
         F.col("c1"), canonicalize_url(F.col("c1")).alias("c2")
     )
     assert twice.filter("c1 <> c2").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fused crawl-extract pass == combinator path (operators/extract.py)
+# ---------------------------------------------------------------------------
+
+_soup_piece = st.one_of(
+    st.sampled_from(
+        [
+            "<title>",
+            "</title>",
+            "<title/>",
+            "<a>",
+            "</a>",
+            '<a href="u1">',
+            '<a href="u2" id="z">',
+            "<a name=x>",
+            '<img src="m1">',
+            "<img>",
+            '<video src="m2"></video>',
+            "<embed/>",
+            "<div>",
+            "</div>",
+            "<p>",
+            "</p>",
+            "<!--c-->",
+            "</b>",
+        ]
+    ),
+    st.text(string.ascii_lowercase + " ", min_size=0, max_size=8),
+)
+
+
+def _combinator_triple(tokens):
+    from scalpel_ts_spark.core.scraper import NOTHING
+    from scalpel_ts_spark.core.tag_spec import tags_to_spec
+    from scalpel_ts_spark.operators.extract import SpanExtractor
+
+    spec = tags_to_spec(tokens)
+    spans = SpanExtractor().run(spec)
+    links = S.attrs("href", Sel.tag("a")).run(spec)
+    title = S.text(Sel.tag("title")).run(spec)
+    return (
+        spans,
+        [] if links is NOTHING else list(links),
+        None if title is NOTHING else title,
+    )
+
+
+def _fused_triple(tokens):
+    from scalpel_ts_spark.core.scraper import NOTHING
+    from scalpel_ts_spark.operators.extract import crawl_extract_tokens
+
+    spans, links, title = crawl_extract_tokens(tokens)
+    return spans, links, (None if title is NOTHING else title)
+
+
+@given(st.lists(_soup_piece, min_size=0, max_size=24))
+@settings(max_examples=400, deadline=None)
+def test_fused_crawl_extract_equals_combinators(pieces):
+    tokens = parse("".join(pieces))
+    f_spans, f_links, f_title = _fused_triple(tokens)
+    c_spans, c_links, c_title = _combinator_triple(tokens)
+    assert f_spans == c_spans
+    assert f_title == c_title
+    # links: the fused pass emits one href per anchor in document
+    # order; the reference DFS's cons-fold reorders nested anchors and
+    # can DUPLICATE a match under malformed cross-nesting — the value
+    # set is always identical (see crawl_extract_tokens docstring)
+    assert set(f_links) == set(c_links)
+
+
+@given(st.lists(_soup_piece.filter(lambda p: p not in ("</a>",)), min_size=0, max_size=16))
+@settings(max_examples=200, deadline=None)
+def test_fused_links_exact_order_without_nesting(pieces):
+    # without </a> every anchor stays flat-or-unclosed... not quite:
+    # EOF closes can still nest anchors, so guard on the token stream
+    tokens = parse("".join(pieces))
+    opens = sum(1 for t in tokens if type(t).__name__ == "TagOpen" and t.name == "a")
+    closes = sum(1 for t in tokens if type(t).__name__ == "TagClose" and t.name == "a")
+    if closes == 0 or opens <= 1:
+        assert _fused_triple(tokens)[1] == _combinator_triple(tokens)[1]
+
+
+def test_fused_crawl_extract_title_edge_cases():
+    cases = [
+        "<title>a<title>b</title>",          # LIFO: close pops inner
+        "<title>x",                           # unclosed -> ''
+        "<title>",                            # EOF-suppressed close
+        "<title></title><title>late</title>",  # first match wins
+        "<title>a<b>c</b>d</title>",          # nested text concatenated
+        "<div><title>t</div></title>",        # malformed containment
+        "no title at all",                    # NOTHING -> None
+        "<title><img src='m'>t</title>",      # media inside title
+        "<a href=''>e</a>",                   # empty href still counts
+        '<a>no-href <b href="pick-me">x</b></a>',  # descendant href
+        '<a href="own"><b href="later">x</b></a>',  # own wins
+        '<a><x href="h">',                    # unclosed: own token only
+    ]
+    for html in cases:
+        tokens = parse(html)
+        assert _fused_triple(tokens) == _combinator_triple(tokens), html
+    # nested anchors: multiset equal, order deliberately document-order
+    tokens = parse("<a href='x'><a>inner</a></a>")
+    f, c = _fused_triple(tokens), _combinator_triple(tokens)
+    assert (f[0], f[2]) == (c[0], c[2]) and sorted(f[1]) == sorted(c[1])
