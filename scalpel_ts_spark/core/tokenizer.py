@@ -38,6 +38,7 @@ Tokens are plain namedtuples so they are cheap, hashable and picklable
 
 from __future__ import annotations
 
+import re
 from html import unescape
 from typing import NamedTuple, Union
 
@@ -135,6 +136,29 @@ _NAME_END = frozenset(" \t\n\r\f/>")
 _ATTR_NAME_END = frozenset(" \t\n\r\f/>=")
 # Unquoted attribute values end at whitespace, '>', or '/'.
 _UNQUOTED_END = frozenset(" \t\n\r\f>/")
+
+# Fast path for the overwhelmingly common open-tag shapes.  The char
+# classes mirror the scanner's EXACT whitespace/terminator sets (note:
+# the scanner's whitespace is " \t\n\r\f" — not regex \s, which would
+# also eat \v etc.).  Shapes the regex rejects (stray '/', attrs not
+# whitespace-separated, '<a ="v">', '/' not directly before '>', ...)
+# fall back to the character scanner, so the fast path can only ever
+# agree with it — pinned by the golden corpus + round-trip fuzz.
+_FAST_TAG_RE = re.compile(
+    r"<([^ \t\n\r\f/>]+)"  # tag name (scanner's _NAME_END complement)
+    r"((?:[ \t\n\r\f]+[^ \t\n\r\f/>=]+"  # ws+ attr key
+    r"(?:[ \t\n\r\f]*=[ \t\n\r\f]*"  # = (ws-padded)
+    # value: quoted, or unquoted NOT starting with a quote (a leading
+    # quote means "quoted value" to the scanner even when unterminated)
+    r"(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^ \t\n\r\f>/]*))?"
+    r")*)"
+    r"[ \t\n\r\f]*(/?)>"
+)
+_FAST_ATTR_RE = re.compile(
+    r"([^ \t\n\r\f/>=]+)"
+    r"(?:[ \t\n\r\f]*=[ \t\n\r\f]*"
+    r"(\"[^\"]*\"|'[^']*'|(?![\"'])[^ \t\n\r\f>/]*))?"
+)
 
 
 def canonicalize_tokens(tokens):
@@ -242,7 +266,38 @@ def parse(source: str) -> list:
                     break
                 i = gt + 1
         elif c in _ALPHA:
-            i = _parse_tag(s, lt, n, emit_open, implied_closes_for_open, moved)
+            m = _FAST_TAG_RE.match(s, lt)
+            if m is not None:
+                name = m.group(1).lower()
+                attr_str = m.group(2)
+                if attr_str:
+                    attrs_list: list = []
+                    seen_keys = set()
+                    for am in _FAST_ATTR_RE.finditer(attr_str):
+                        key = am.group(1).lower()
+                        if key in seen_keys:
+                            continue
+                        seen_keys.add(key)
+                        raw = am.group(2)
+                        if raw is None:
+                            value = ""
+                        elif raw[:1] in "\"'":
+                            value = unescape(raw[1:-1])
+                        else:
+                            value = unescape(raw)
+                        attrs_list.append((key, value))
+                    attrs_list.sort(key=lambda kv: kv[0])
+                    attrs = tuple(attrs_list)
+                else:
+                    attrs = ()
+                implied_closes_for_open(name)
+                push = (m.group(3) == "") and (name not in VOID_ELEMENTS)
+                emit_open(name, attrs, push)
+                i = m.end()
+            else:
+                i = _parse_tag(
+                    s, lt, n, emit_open, implied_closes_for_open, moved
+                )
             if i == -1:
                 break
             # raw-text elements: consume until the matching close tag
