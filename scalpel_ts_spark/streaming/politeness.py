@@ -1,0 +1,140 @@
+"""Stateful streaming politeness: a per-host token bucket as an
+``applyInPandasWithState`` operator.
+
+The batch engine enforces per-host budgets with the salted top-k +
+host_state table (plans/frontier.py steps 1-2).  This module is the
+same policy as a *continuous* operator: candidate URLs stream in, the
+per-host token balance lives in the Spark state store (checkpointed,
+exactly-once, survives restarts), and every candidate is emitted with
+a ``fetch`` / ``defer`` decision.  One trigger == one crawl round:
+the bucket refills by ``refill`` (capped at ``cap``) per trigger,
+mirroring CrawlEngine's round refill, and decisions within a trigger
+follow the engine's deterministic (priority, seq) order — never
+arrival order, which task scheduling could reorder.
+
+State shape note for 100 TB operation: state is ONE ROW PER HOST
+(two ints), partitioned by the state store on host_id — hot hosts cost
+no more state than idle ones, and the state store scales with host
+count (~10^7) not URL count (~10^10).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BUDGET_OUT_SCHEMA = StructType(
+    [
+        StructField("host_id", LongType()),
+        StructField("url", StringType()),
+        StructField("seq", LongType()),
+        StructField("decision", StringType()),
+        StructField("tokens_after", IntegerType()),
+    ]
+)
+
+BUDGET_STATE_SCHEMA = StructType([StructField("tokens", IntegerType())])
+
+
+def host_budget_fn(cap: int, refill: int):
+    """Build the grouped stateful function (key, batches, state) ->
+    iterator of output frames."""
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (host_id,) = key
+        if state.exists:
+            (tokens,) = state.get
+            tokens = min(cap, int(tokens) + refill)  # per-trigger refill
+        else:
+            tokens = cap
+        hosts, urls, seqs, decisions, after = [], [], [], [], []
+        for pdf in pdfs:
+            # deterministic policy order (priority, seq) — identical at
+            # any parallelism, exactly like the batch engine
+            if "priority" in pdf.columns:
+                pdf = pdf.sort_values(["priority", "seq"])
+            else:
+                pdf = pdf.sort_values(["seq"])
+            for url, seq in zip(pdf["url"], pdf["seq"]):
+                if tokens > 0:
+                    tokens -= 1
+                    decision = "fetch"
+                else:
+                    decision = "defer"
+                hosts.append(host_id)
+                urls.append(url)
+                seqs.append(int(seq))
+                decisions.append(decision)
+                after.append(tokens)
+        state.update((tokens,))
+        yield pd.DataFrame(
+            {
+                "host_id": hosts,
+                "url": urls,
+                "seq": seqs,
+                "decision": decisions,
+                "tokens_after": after,
+            }
+        )
+
+    return _fn
+
+
+def stream_host_budget(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cap: int = 8,
+    refill: int = 4,
+    schema: StructType | None = None,
+):
+    """Continuously budget a stream of candidate URLs per host.
+
+    Input: append-only parquet/Iceberg dir with at least
+    (host_id long, url string, seq long).  Output: every candidate
+    annotated with the fetch/defer decision and the post-decision
+    balance.  ``Trigger.AvailableNow`` + the checkpoint make each
+    invocation drain exactly the new files, with host balances carried
+    across invocations in the state store — restart-safe politeness.
+    """
+    in_schema = schema or StructType(
+        [
+            StructField("host_id", LongType()),
+            StructField("url", StringType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    budgeted = stream.groupBy("host_id").applyInPandasWithState(
+        host_budget_fn(cap, refill),
+        outputStructType=BUDGET_OUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        budgeted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -61,3 +61,45 @@ def test_py_files_zip_is_importable(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "zip-import-ok" in out.stdout
+
+
+def _write_candidates(spark, path, rows):
+    spark.createDataFrame(rows, "host_id long, url string, seq long") \
+        .coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stateful_host_budget_across_restarts(spark, tmp_path):
+    from scalpel_ts_spark.streaming.politeness import stream_host_budget
+
+    src = str(tmp_path / "cand")
+    out = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "budget_ckpt")
+
+    # trigger 1: host 1 has 5 candidates, cap 3 -> 3 fetch, 2 defer
+    _write_candidates(
+        spark, src, [(1, f"http://h1.test/p/{i}", i) for i in range(5)]
+    )
+    q = stream_host_budget(spark, src, out, ckpt, cap=3, refill=2)
+    q.awaitTermination(120)
+    first = {
+        r["seq"]: r["decision"] for r in spark.read.parquet(out).collect()
+    }
+    assert [first[i] for i in range(5)] == [
+        "fetch", "fetch", "fetch", "defer", "defer",
+    ]
+
+    # trigger 2 (new process-equivalent: same checkpoint): the balance
+    # 0 survives in the state store and refills by 2 -> 2 fetch, 1 defer
+    _write_candidates(
+        spark, src, [(1, f"http://h1.test/p/{i}", i) for i in range(5, 8)]
+    )
+    q2 = stream_host_budget(spark, src, out, ckpt, cap=3, refill=2)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8
+    second = {r["seq"]: r["decision"] for r in rows if r["seq"] >= 5}
+    assert [second[i] for i in range(5, 8)] == ["fetch", "fetch", "defer"]
+    # decisions follow seq order, not arrival order: token balances
+    # decrease monotonically within the trigger
+    afters = [r["tokens_after"] for r in sorted(rows, key=lambda r: r["seq"]) if r["seq"] < 5]
+    assert afters == [2, 1, 0, 0, 0]
