@@ -35,6 +35,7 @@ from scalpel_ts_spark.operators.seen import build_bloom, new_urls
 from scalpel_ts_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
 )
 from scalpel_ts_spark.operators.topk import topk_per_group
@@ -703,6 +704,78 @@ FROM embeddings WHERE vec_id % 7 = 0
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: scaled-copy queries must retrieve their original as
+    top-1.  Scaling by 1.0001 preserves every centroid cosine, so the
+    copy probes the original's cell; the exact-cosine re-rank then
+    puts the original (cos ~ 1) first — end-to-end coverage of
+    assignment, probing, and re-rank with a closed-form oracle.
+    """
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    top = ivf_topk(queries, emb, k=1, n_cells=16, nprobe=4)
+    return top.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
+
+
+_ANN_IVF_SQL = """
+SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id
+FROM embeddings WHERE vec_id % 11 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Stateful streaming (politeness budget through the state store)
+# --------------------------------------------------------------------------
+
+
+def q_streaming_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host token-bucket decisions computed by the
+    applyInPandasWithState streaming operator (one AvailableNow
+    trigger over candidates derived from the documents table), read
+    back from the streaming sink.  The oracle is the closed batch
+    form of one trigger: rank candidates per host by seq; the first
+    ``cap`` get fetched.
+    """
+    from scalpel_ts_spark.streaming.politeness import stream_host_budget
+
+    docs = _tbl(spark, sf_dir, "documents")
+    cand = docs.select(
+        (F.col("doc_id") % 9).cast("long").alias("host_id"),
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".test/p/"), _D(),
+        ).alias("url"),
+        F.col("doc_id").cast("long").alias("seq"),
+    )
+    base = tempfile.mkdtemp(prefix="q_stream_budget_")
+    src = os.path.join(base, "cand")
+    out = os.path.join(base, "decisions")
+    ckpt = os.path.join(base, "ckpt")
+    cand.write.mode("overwrite").parquet(src)
+    q = stream_host_budget(spark, src, out, ckpt, cap=16, refill=8)
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+_STREAMING_BUDGET_SQL = """
+WITH ranked AS (
+  SELECT (doc_id % 9)::BIGINT AS host_id,
+         'http://h' || (doc_id % 9) || '.test/p/' || doc_id AS url,
+         doc_id::BIGINT AS seq,
+         row_number() OVER (PARTITION BY doc_id % 9 ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT host_id, url, seq,
+       CASE WHEN rn <= 16 THEN 'fetch' ELSE 'defer' END AS decision,
+       CAST(greatest(16 - rn, 0) AS INT) AS tokens_after
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -792,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "streaming_budget": q_streaming_budget,
         "media_metadata": q_media_metadata,
         "crawl_rounds": q_crawl_rounds,
     }
@@ -822,6 +897,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _ann_bruteforce_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_lsh": _ANN_LSH_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
+        "streaming_budget": _STREAMING_BUDGET_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         # crawl_rounds: intentionally no oracle (stateful round loop);
         # correctness authority is the simulator-equality pytest gate

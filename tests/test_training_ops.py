@@ -215,3 +215,27 @@ def test_media_features_bounds_arrow_batches(spark):
     assert (
         spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "64"
     )
+
+
+def test_ivf_topk_recall_and_plan(spark):
+    from scalpel_ts_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(17)
+    corpus = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    # scaled copies must retrieve their originals as top-1 (assignment
+    # is cosine-invariant under scaling; re-rank is exact)
+    queries = corpus.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.0001).alias(
+            "embedding"
+        ),
+    )
+    top = ivf_topk(queries, corpus, k=1, n_cells=8, nprobe=2)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert got == {1000 + i: i for i in range(0, 200, 10)}
+    # assignment stage must be pure Column expressions (no Python UDF)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
