@@ -79,11 +79,18 @@ def main() -> None:
         eng.init([make_url(h, p) for h in range(200) for p in range(25)])
         for m in eng.run(CRAWL_ROUNDS):
             urls_fetched += m["fetched"]
+            for k, v in m.get("sections", {}).items():
+                sections[k] = round(sections.get(k, 0.0) + v, 2)
 
+    sections: dict[str, float] = {}
     run("crawl", crawl)
     shutil.rmtree(workdir, ignore_errors=True)
     extra["urls_fetched"] = urls_fetched
     extra["urls_per_sec"] = round(urls_fetched / timings["crawl"], 1)
+    # per-stage breakdown (fetch_extract / robots / seen_dedup / commit)
+    # so a slow run is diagnosable: this box's shared disk makes the
+    # commit/robots sections swing 2-8s run-to-run (BASELINE.md)
+    extra["crawl_sections"] = sections
 
     # -- pipeline stages over the sf tables --------------------------------
     n_docs = 0
