@@ -758,7 +758,9 @@ def q_streaming_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     cand.write.mode("overwrite").parquet(src)
     q = stream_host_budget(spark, src, out, ckpt, cap=16, refill=8)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_budget did not drain within 300s")
     return spark.read.parquet(out)
 
 

@@ -13,13 +13,13 @@ unless ``fake=True``, in which case a deterministic byte-derived fake
 decode runs — making every piece of the Spark-side plumbing (schema,
 batching, partitioning, UDF signatures) real and testable.
 
-Scale notes: blobs are the widest rows in the system, so
-:func:`media_features` bounds Arrow batches by setting
-``spark.sql.execution.arrow.maxRecordsPerBatch`` (session-wide — the
-conf is read at execution time, so pass ``max_records_per_batch=None``
-if another concurrent stage owns the knob; the session default 2048
-assumes ~KB rows).  Also resize a media DF with ``df.repartition(..)``
-by blob-size budget, not row count.  On a real
+Scale notes: blobs are the widest rows in the system; bound Arrow
+batches by passing ``max_records_per_batch`` to :func:`media_features`
+(it sets ``spark.sql.execution.arrow.maxRecordsPerBatch``, a SESSION
+conf read at execution time — every later Arrow stage sees it, so the
+caller owns the knob and the default leaves it untouched; the session
+default 2048 assumes ~KB rows).  Also resize a media DF with
+``df.repartition(..)`` by blob-size budget, not row count.  On a real
 lakehouse the blob column is an Iceberg ``binary`` field with metadata
 in the same row — one scan serves both filter-by-metadata (pruned,
 cheap) and decode (expensive, only surviving rows).
@@ -94,15 +94,18 @@ def media_features(
     blob_col: str = "blob",
     mime_col: str | None = None,
     fake_decode: bool = True,
-    max_records_per_batch: int | None = 256,
+    max_records_per_batch: int | None = None,
 ) -> DataFrame:
     """blob -> typed metadata struct via Arrow-batched mapInPandas.
 
     Output columns: everything in ``df`` minus the blob, plus
     MEDIA_META_SCHEMA fields.  mapInPandas (not a scalar UDF) so one
     task streams many small batches — bounded memory on wide blobs;
-    ``max_records_per_batch`` caps rows per Arrow batch (set on the
-    session, read at execution time; None leaves the conf untouched).
+    pass ``max_records_per_batch`` to cap rows per Arrow batch.  The
+    knob is a SESSION conf read at execution time (Spark has no
+    per-stage form), so setting it here re-tunes every Arrow stage
+    that executes afterwards — which is why the default is None
+    (caller owns the knob) rather than silently resizing the session.
     """
     if max_records_per_batch is not None:
         df.sparkSession.conf.set(

@@ -383,7 +383,8 @@ class CrawlEngine:
         )
         seen_delta = fresh.select("url", "url_hash")
         last_full = max(self._seen_full_rounds())
-        if nxt - last_full >= self.compact_every:
+        compacted = nxt - last_full >= self.compact_every
+        if compacted:
             # compaction: every compact_every rounds, rewrite the FULL
             # seen set as ONE snapshot (hash-partitioned) so the delta
             # chain — file count and scan cost per round — is bounded
@@ -391,7 +392,6 @@ class CrawlEngine:
             par = self.spark.sparkContext.defaultParallelism
             full = seen.select("url", "url_hash").unionByName(seen_delta)
             writes.append((full.repartition(par, "url_hash"), "seen"))
-            self.manifest.setdefault("seen_full_rounds", [0]).append(nxt)
         else:
             writes.append((seen_delta, "seen"))
         writes.append((next_frontier, "frontier"))
@@ -418,6 +418,11 @@ class CrawlEngine:
             ]
             for fut in futures:
                 fut.result()
+        if compacted:
+            # record the full snapshot only AFTER its write succeeded —
+            # marking it earlier would let a failed-then-retried round
+            # treat a mere delta as the entire seen set
+            self.manifest.setdefault("seen_full_rounds", [0]).append(nxt)
         new_rules.unpersist()
         fetched.unpersist()
         fresh.unpersist()

@@ -123,6 +123,17 @@ class IcebergSnapshotStorage:
             )
         self._known: set[str] = set()
 
+    #: reserved snapshot-version partition column — distinct from any
+    #: engine data column (fetch_log/docs carry their own ``round``)
+    VERSION_COL = "_snapshot_round"
+
+    #: every table the engine writes (storage must not depend on the
+    #: engine module, so the list is owned here; reset() drops them all)
+    ENGINE_TABLES = (
+        "frontier", "seen", "host_state", "docs", "fetch_log", "bloom",
+        "robots", "manifest",
+    )
+
     def _name(self, table: str) -> str:
         return f"{self.catalog}.{self.namespace}.{table}"
 
@@ -133,7 +144,7 @@ class IcebergSnapshotStorage:
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
         extra = self.BUCKET_SPECS.get(table)
-        part = f"round{', ' + extra if extra else ''}"
+        part = f"{self.VERSION_COL}{', ' + extra if extra else ''}"
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self._name(table)} ({cols}) "
             f"USING iceberg PARTITIONED BY ({part})"
@@ -141,7 +152,7 @@ class IcebergSnapshotStorage:
         self._known.add(table)
 
     def write(self, df: DataFrame, table: str, rnd: int) -> None:
-        out = df.withColumn("round", F.lit(rnd).cast("int"))
+        out = df.withColumn(self.VERSION_COL, F.lit(rnd).cast("int"))
         self._ensure(out, table)
         # atomic snapshot commit; re-running a failed round overwrites
         # only that round's partitions (idempotent resume)
@@ -150,29 +161,33 @@ class IcebergSnapshotStorage:
     def read(self, table: str, rnd: int) -> DataFrame:
         return (
             self.spark.table(self._name(table))
-            .where(F.col("round") == rnd)
-            .drop("round")
+            .where(F.col(self.VERSION_COL) == rnd)
+            .drop(self.VERSION_COL)
         )
 
     def read_union(self, table: str, rounds: Sequence[int]) -> DataFrame:
         return (
             self.spark.table(self._name(table))
-            .where(F.col("round").isin(list(rounds)))
-            .drop("round")
+            .where(F.col(self.VERSION_COL).isin(list(rounds)))
+            .drop(self.VERSION_COL)
         )
 
     def save_manifest(self, manifest: dict) -> None:
+        # single-row unpartitioned table, atomically replaced per round
         df = self.spark.createDataFrame(
             [(json.dumps(manifest),)], "manifest string"
         )
-        self._ensure(df.withColumn("round", F.lit(0)), "manifest")
         df.writeTo(self._name("manifest")).createOrReplace()
+        self._known.add("manifest")
 
     def load_manifest(self) -> dict:
         row = self.spark.table(self._name("manifest")).head()
         return json.loads(row["manifest"])
 
     def reset(self) -> None:
-        for t in list(self._known) + list(self.BUCKET_SPECS):
+        # drop EVERY engine table (not just the ones this instance has
+        # touched) so a fresh crawl never resumes against a previous
+        # crawl's leftover docs/fetch_log/manifest
+        for t in set(self.ENGINE_TABLES) | self._known:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._name(t)}")
         self._known.clear()

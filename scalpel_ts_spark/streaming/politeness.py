@@ -60,25 +60,25 @@ def host_budget_fn(cap: int, refill: int):
             tokens = min(cap, int(tokens) + refill)  # per-trigger refill
         else:
             tokens = cap
+        # one sort over the WHOLE group: the group arrives as an
+        # iterator of Arrow-sized chunks, and sorting each chunk
+        # independently would make decisions chunk-boundary-dependent
+        # (a later chunk's smaller seq must still beat a larger one)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        order = ["priority", "seq"] if "priority" in pdf.columns else ["seq"]
+        pdf = pdf.sort_values(order)
         hosts, urls, seqs, decisions, after = [], [], [], [], []
-        for pdf in pdfs:
-            # deterministic policy order (priority, seq) — identical at
-            # any parallelism, exactly like the batch engine
-            if "priority" in pdf.columns:
-                pdf = pdf.sort_values(["priority", "seq"])
+        for url, seq in zip(pdf["url"], pdf["seq"]):
+            if tokens > 0:
+                tokens -= 1
+                decision = "fetch"
             else:
-                pdf = pdf.sort_values(["seq"])
-            for url, seq in zip(pdf["url"], pdf["seq"]):
-                if tokens > 0:
-                    tokens -= 1
-                    decision = "fetch"
-                else:
-                    decision = "defer"
-                hosts.append(host_id)
-                urls.append(url)
-                seqs.append(int(seq))
-                decisions.append(decision)
-                after.append(tokens)
+                decision = "defer"
+            hosts.append(host_id)
+            urls.append(url)
+            seqs.append(int(seq))
+            decisions.append(decision)
+            after.append(tokens)
         state.update((tokens,))
         yield pd.DataFrame(
             {
@@ -118,11 +118,11 @@ def stream_host_budget(
             StructField("seq", LongType()),
         ]
     )
-    stream = (
-        spark.readStream.schema(in_schema)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_dir)
-    )
+    # no maxFilesPerTrigger: with AvailableNow it would split one
+    # invocation into several micro-batches, and since the bucket
+    # refills per trigger, a >64-file backlog would exceed the
+    # documented one-round budget within a single invocation
+    stream = spark.readStream.schema(in_schema).parquet(input_dir)
     budgeted = stream.groupBy("host_id").applyInPandasWithState(
         host_budget_fn(cap, refill),
         outputStructType=BUDGET_OUT_SCHEMA,

@@ -103,3 +103,33 @@ def test_stateful_host_budget_across_restarts(spark, tmp_path):
     # decrease monotonically within the trigger
     afters = [r["tokens_after"] for r in sorted(rows, key=lambda r: r["seq"]) if r["seq"] < 5]
     assert afters == [2, 1, 0, 0, 0]
+
+
+def test_stateful_budget_sorts_across_arrow_chunks(spark, tmp_path):
+    # a host whose group spans multiple Arrow chunks must still give
+    # its tokens to the globally smallest seqs (one sort per group,
+    # not per chunk)
+    from scalpel_ts_spark.streaming.politeness import stream_host_budget
+
+    src = str(tmp_path / "cand2")
+    out = str(tmp_path / "dec2")
+    ckpt = str(tmp_path / "ckpt2")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        # write in DESCENDING seq order so naive per-chunk consumption
+        # would spend tokens on the largest seqs first
+        rows = [(1, f"http://h1.test/p/{i}", i) for i in range(399, -1, -1)]
+        _write_candidates(spark, src, rows)
+        q = stream_host_budget(spark, src, out, ckpt, cap=10, refill=5)
+        assert q.awaitTermination(120)
+        fetched = {
+            r["seq"]
+            for r in spark.read.parquet(out).collect()
+            if r["decision"] == "fetch"
+        }
+        assert fetched == set(range(10))
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
