@@ -39,7 +39,7 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from scalpel_ts_spark.functions.url import canonicalize_url, url_hash
@@ -87,6 +87,7 @@ class CrawlEngine:
         self.compact_every = compact_every
         self.storage = storage or ParquetSnapshotStorage(spark, workdir)
         self.round = 0
+        self._frontier_rows: int | None = None
         self.manifest = {
             "config": self._config(),
             "rounds": [],
@@ -244,7 +245,17 @@ class CrawlEngine:
         # is ~10x its input) — without this the whole Python stage can
         # coalesce onto a handful of tasks.  Keyed by (host, url) so a
         # production async-HTTP fetcher still sees host-batched rows.
-        par = self.spark.sparkContext.defaultParallelism * 2
+        # Task count adapts to the round's expected fetch volume
+        # (~2k rows per task): a 5k-URL warm-up round should not spawn
+        # 64 Python workers, and a 10^10-URL frontier still caps at
+        # 2x cores.  The frontier row count is tracked arithmetically
+        # (rows' = rows - fetched + new); the first round after
+        # init/resume pays one parquet-metadata count.
+        if self._frontier_rows is None:
+            self._frontier_rows = frontier.count()
+        max_par = self.spark.sparkContext.defaultParallelism * 2
+        expected = min(self._frontier_rows, self.cap * self.n_hosts)
+        par = max(1, min(max_par, -(-expected // 2048)))
         fetched = (
             candidates.repartition(par, "host_id", "url_hash")
             .withColumn("html", fetch_udf(self.n_hosts)(F.col("url")))
@@ -323,11 +334,13 @@ class CrawlEngine:
             n_buckets=self.bloom_buckets,
             persisted_out=bloom_caches,
         ).persist()
-        n_new = fresh.count()
-        _mark("seen_dedup")
-        for cached in bloom_caches:
-            cached.unpersist()
-        candidates_raw.unpersist()
+        # the new-URL count rides the seen write as an Observation
+        # instead of paying a separate count job; fresh stays persisted
+        # because three sinks consume it (seen, frontier, bloom)
+        n_new_obs = Observation()
+        seen_delta = fresh.observe(
+            n_new_obs, F.count(F.lit(1)).alias("n_new")
+        ).select("url", "url_hash")
 
         # 6. next frontier = pending - fetched + fresh.  The fetched
         #    set is bounded by the round budget (≪ frontier), so the
@@ -381,7 +394,6 @@ class CrawlEngine:
                 "fetch_log",
             )
         )
-        seen_delta = fresh.select("url", "url_hash")
         last_full = max(self._seen_full_rounds())
         compacted = nxt - last_full >= self.compact_every
         if compacted:
@@ -423,6 +435,11 @@ class CrawlEngine:
             # marking it earlier would let a failed-then-retried round
             # treat a mere delta as the entire seen set
             self.manifest.setdefault("seen_full_rounds", [0]).append(nxt)
+        n_new = int(n_new_obs.get["n_new"])
+        self._frontier_rows = self._frontier_rows - n_fetched + n_new
+        for cached in bloom_caches:
+            cached.unpersist()
+        candidates_raw.unpersist()
         new_rules.unpersist()
         fetched.unpersist()
         fresh.unpersist()
