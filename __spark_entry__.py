@@ -728,6 +728,37 @@ FROM embeddings WHERE vec_id % 11 = 0
 """
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding end-to-end with a closed-form oracle: every
+    doc_id % 3 == 0 document gets a CASE-CHANGED copy — identical
+    whitespace tokens, therefore an identical simhash (hamming 0) —
+    and the banded search must recover exactly those (orig, copy)
+    pairs.  (The signature's SipHash token hash has no DuckDB mirror,
+    so incidental same-corpus near-dups are filtered out and the
+    invariant pairs ARE the oracle — the same pattern as ann_lsh /
+    ann_ivf.)
+    """
+    from scalpel_ts_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    pairs = simhash_near_duplicates(
+        docs.unionByName(copies), max_hamming=3
+    )
+    return pairs.filter(
+        F.col("id_b") == F.col("id_a") + 1000000
+    ).select("id_a", "id_b", "hamming")
+
+
+_DEDUP_SIMHASH_SQL = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Stateful streaming (politeness budget through the state store)
 # --------------------------------------------------------------------------
@@ -864,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
@@ -900,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "streaming_budget": _STREAMING_BUDGET_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         # crawl_rounds: intentionally no oracle (stateful round loop);

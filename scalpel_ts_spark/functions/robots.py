@@ -1,0 +1,146 @@
+"""robots.txt parsing + distributed allow/deny filtering (RFC 9309).
+
+The crawl engine's sandbox politeness uses the deterministic synthetic
+rule table (sources/synthetic.py) so the simulator-equality gates stay
+exact; THIS module is the production robots path that pairs with
+``sources/fetch.http_fetch_stage``: parse each host's real robots.txt
+once, then filter candidate URLs host-by-host with the same
+partition-owned cogroup shape as the bloom seen-set (one task holds one
+host's compiled rules and vets its whole candidate batch — rules are
+never broadcast, so 10^7 hosts of rule state stay partitioned).
+
+Semantics per RFC 9309 (and the de-facto Googlebot extensions):
+
+* groups = one or more ``User-agent:`` lines followed by rules;
+  the group whose agent token is the LONGEST match for our product
+  token applies; ``*`` is the fallback group; multiple groups for the
+  same agent merge
+* ``Allow`` / ``Disallow`` path patterns support ``*`` (any run) and a
+  trailing ``$`` (end anchor); field names are case-insensitive;
+  ``#`` starts a comment
+* decision = the matching rule with the LONGEST pattern wins;
+  tie -> Allow; no rule matches (or no group) -> allowed; an empty
+  Disallow pattern disallows nothing
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+# (allow?, pattern_length, compiled_regex)
+Rule = Tuple[bool, int, "re.Pattern[str]"]
+
+
+def _compile_path_pattern(pattern: str) -> "re.Pattern[str]":
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    body = ".*".join(parts)
+    return re.compile("^" + body + ("$" if anchored else ""))
+
+
+def parse_robots(text: str, user_agent: str = "scalpel-ts-spark") -> List[Rule]:
+    """Parse a robots.txt body into the rule list applying to
+    ``user_agent`` (longest agent-token match; ``*`` fallback;
+    same-agent groups merged)."""
+    agent_lc = user_agent.lower()
+    groups: dict[str, list] = {}
+    current_agents: list[str] = []
+    rules_open = False  # False while collecting consecutive UA lines
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if rules_open:
+                current_agents = []
+                rules_open = False
+            current_agents.append(value.lower())
+            for a in current_agents:
+                groups.setdefault(a, [])
+        elif field in ("allow", "disallow"):
+            rules_open = True
+            if not current_agents:
+                continue  # rules before any user-agent line: ignored
+            if field == "disallow" and value == "":
+                continue  # empty Disallow permits everything
+            rule = (field == "allow", len(value), _compile_path_pattern(value))
+            for a in current_agents:
+                groups.setdefault(a, []).append(rule)
+        else:
+            # sitemap / crawl-delay / unknown fields end nothing
+            rules_open = rules_open or bool(current_agents)
+
+    best = None  # (match_len, rules)
+    for agent_token, rules in groups.items():
+        if agent_token == "*":
+            continue
+        if agent_token in agent_lc and (
+            best is None or len(agent_token) > best[0]
+        ):
+            best = (len(agent_token), rules)
+    if best is not None:
+        return best[1]
+    return groups.get("*", [])
+
+
+def is_allowed(rules: Iterable[Rule], path: str) -> bool:
+    """Longest-pattern match wins; tie -> Allow; no match -> allowed."""
+    best_len = -1
+    best_allow = True
+    for allow, plen, rx in rules:
+        if rx.match(path) and (
+            plen > best_len or (plen == best_len and allow)
+        ):
+            best_len = plen
+            best_allow = allow
+    return best_allow
+
+
+def robots_filter_stage(
+    candidates: DataFrame,
+    robots: DataFrame,
+    host_col: str = "host_id",
+    path_col: str = "path",
+    robots_txt_col: str = "robots_txt",
+    user_agent: str = "scalpel-ts-spark",
+) -> DataFrame:
+    """Keep only candidates allowed by their host's robots.txt.
+
+    Cogrouped by host: each task parses ONE host's robots body once and
+    vets that host's whole candidate batch — the partition-owned shape
+    that scales to 10^7 hosts without broadcasting rule state.  A host
+    with no robots row is fully allowed (RFC 9309 §2.3.1.2: unreachable
+    robots.txt means no restrictions for the 4xx class).
+    """
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField("allowed", IntegerType())]
+    )
+
+    def _vet(cand_pdf: pd.DataFrame, rob_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return cand_pdf.assign(allowed=pd.array([], dtype="int32"))
+        if len(rob_pdf) == 0 or rob_pdf[robots_txt_col].iloc[0] is None:
+            return cand_pdf.assign(allowed=1)
+        rules = parse_robots(rob_pdf[robots_txt_col].iloc[0], user_agent)
+        flags = [
+            1 if is_allowed(rules, p) else 0 for p in cand_pdf[path_col]
+        ]
+        return cand_pdf.assign(allowed=pd.array(flags, dtype="int32"))
+
+    cg = candidates.groupBy(host_col).cogroup(robots.groupBy(host_col))
+    return (
+        cg.applyInPandas(_vet, out_schema)
+        .filter(F.col("allowed") == 1)
+        .drop("allowed")
+    )
