@@ -74,7 +74,22 @@ class CrawlEngine:
         write_docs: bool = True,
         compact_every: int = 8,
         storage: SnapshotStorage | None = None,
+        fetch_stage=None,
     ):
+        """``fetch_stage``: optional ``df -> df + html column`` callable
+        replacing the synthetic fetcher — the production seam.  E.g.::
+
+            from functools import partial
+            from scalpel_ts_spark.sources.fetch import http_fetch_stage
+            CrawlEngine(..., fetch_stage=partial(
+                http_fetch_stage, fetch_fn=urllib_fetch))
+
+        The stage receives the repartitioned candidate frame (already
+        host-batched) and must append an ``html`` string column; extra
+        columns (status/fetch_error) are allowed and dropped.  The
+        default reads the deterministic synthetic web, which is what
+        the simulator-equality gates require.
+        """
         self.spark = spark
         self.workdir = workdir
         self.n_hosts = n_hosts
@@ -86,6 +101,7 @@ class CrawlEngine:
         self.write_docs = write_docs
         self.compact_every = compact_every
         self.storage = storage or ParquetSnapshotStorage(spark, workdir)
+        self.fetch_stage = fetch_stage
         self.round = 0
         self._frontier_rows: int | None = None
         self.manifest = {
@@ -256,11 +272,18 @@ class CrawlEngine:
         max_par = self.spark.sparkContext.defaultParallelism * 2
         expected = min(self._frontier_rows, self.cap * self.n_hosts)
         par = max(1, min(max_par, -(-expected // 2048)))
+        batched = candidates.repartition(par, "host_id", "url_hash")
+        if self.fetch_stage is not None:
+            with_html = self.fetch_stage(batched)
+        else:
+            with_html = batched.withColumn(
+                "html", fetch_udf(self.n_hosts)(F.col("url"))
+            )
         fetched = (
-            candidates.repartition(par, "host_id", "url_hash")
-            .withColumn("html", fetch_udf(self.n_hosts)(F.col("url")))
-            .withColumn("ex", crawl_extract_udf()(F.col("url"), F.col("html")))
-            .drop("html")
+            with_html.withColumn(
+                "ex", crawl_extract_udf()(F.col("url"), F.col("html"))
+            )
+            .select(*batched.columns, "ex")
             .persist()
         )
         # one job: materialize fetch+extract AND collect per-partition

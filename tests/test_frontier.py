@@ -139,3 +139,32 @@ def test_seen_compaction_bounds_delta_chain(spark, tmp_path_factory, sim_state):
     # the union read spans only rounds since the last full snapshot
     base = max(r for r in fulls if r <= eng2.round)
     assert eng2.round - base < 2
+
+
+def _synthetic_http(url):
+    # FetchFn over the same deterministic web as the default fetcher
+    from scalpel_ts_spark.sources.synthetic import html_for_url
+
+    return (200, "text/html; charset=utf-8",
+            html_for_url(url, N_HOSTS).encode("utf-8"))
+
+
+def test_pluggable_http_fetch_stage_matches_simulator(
+    spark, tmp_path_factory, sim_state
+):
+    # the production seam: swap the synthetic fetch UDF for the
+    # per-host HTTP fetch stage (decode rule included); with a FetchFn
+    # over the same synthetic web the crawl must be identical
+    from functools import partial
+
+    from scalpel_ts_spark.sources.fetch import http_fetch_stage
+
+    wd = str(tmp_path_factory.mktemp("crawl_http"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
+        fetch_stage=partial(http_fetch_stage, fetch_fn=_synthetic_http),
+    )
+    eng.init(SEEDS)
+    eng.run(ROUNDS)
+    assert _engine_log(eng) == _sim_log(sim_state)
+    assert {r.url for r in eng.seen().collect()} == sim_state.seen
