@@ -759,6 +759,42 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> components (keep-one-per-cluster primitive):
+    min-label propagation over the verified MinHash pairs.  The oracle
+    is a DuckDB recursive CTE computing min-reachable-id over the same
+    pairs."""
+    from scalpel_ts_spark.operators.dedup import connected_components
+
+    pairs = minhash_near_duplicates(
+        _neardup_corpus(spark, sf_dir), threshold=0.8
+    )
+    return connected_components(pairs).select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_NEARDUP_CORPUS_SQL.strip()},
+sh AS (SELECT doc_id, {T.word_shingles_sql('text', 3)} AS s FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.s, b.s)) * 10000 >=
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 8000),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach(v, c) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.c FROM edges e JOIN reach r ON e.dst = r.v)
+SELECT v AS doc_id, min(c) AS cluster_id FROM reach GROUP BY v
+"""
+
+
 # --------------------------------------------------------------------------
 # Stateful streaming (politeness budget through the state store)
 # --------------------------------------------------------------------------
@@ -896,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
@@ -933,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
         "streaming_budget": _STREAMING_BUDGET_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         # crawl_rounds: intentionally no oracle (stateful round loop);

@@ -290,6 +290,74 @@ def minhash_near_duplicates(
     return _verify_jaccard(pairs, threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster duplicate pairs into components: (vertex, component)
+    where component = the smallest vertex id reachable — the standard
+    keep-one-representative primitive after near-dup pair generation.
+
+    Min-label propagation: every vertex repeatedly takes the minimum of
+    its own and its neighbors' labels; converges in graph-diameter
+    iterations (each is one shuffle-join + one hash aggregate, all
+    JVM-side).  Dup clusters are near-cliques, so the diameter — and
+    the iteration count — is tiny in practice; for adversarial
+    long-chain graphs at 10^10 vertices the same loop slots in the
+    large-star/small-star optimization (Kiveris et al.), which this
+    deliberately plain version documents rather than implements.
+    Deterministic: labels are data (min ids), never scheduling order.
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("v")).distinct()
+        .withColumn("c", F.col("v"))
+        .persist()
+    )
+    sym = sym.persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("v").alias("dst"), F.col("c").alias("dst_c")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_c").alias("nbr_c"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "v"), "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("c"), F.coalesce(F.col("nbr_c"), F.col("c"))
+                ).alias("c"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("v", F.col("c").alias("old_c")), "v"
+            )
+            .filter(F.col("c") != F.col("old_c"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("v"), F.col("c").alias("component"))
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

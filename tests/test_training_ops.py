@@ -239,3 +239,19 @@ def test_ivf_topk_recall_and_plan(spark):
     # assignment stage must be pure Column expressions (no Python UDF)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_connected_components_chain_and_clique(spark):
+    from scalpel_ts_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1), clique 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["v"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
