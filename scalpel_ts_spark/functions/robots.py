@@ -78,14 +78,22 @@ def parse_robots(text: str, user_agent: str = "scalpel-ts-spark") -> List[Rule]:
             for a in current_agents:
                 groups.setdefault(a, []).append(rule)
         else:
-            # sitemap / crawl-delay / unknown fields end nothing
-            rules_open = rules_open or bool(current_agents)
+            # sitemap / crawl-delay / unknown fields end nothing: they
+            # neither open a group's rule section nor close the
+            # user-agent collection run (Google parser behavior)
+            pass
 
+    # group selection: the group token must be a case-insensitive
+    # PREFIX of our product token (the part before '/'), longest prefix
+    # wins — the de-facto standard (Google's parser: "user-agent: goo"
+    # matches Googlebot); bare substring matching would let an
+    # unrelated group like "park" capture "scalpel-ts-spark"
+    product = agent_lc.split("/", 1)[0].strip()
     best = None  # (match_len, rules)
     for agent_token, rules in groups.items():
         if agent_token == "*":
             continue
-        if agent_token in agent_lc and (
+        if product.startswith(agent_token) and (
             best is None or len(agent_token) > best[0]
         ):
             best = (len(agent_token), rules)
@@ -131,10 +139,16 @@ def robots_filter_stage(
         if len(cand_pdf) == 0:
             return cand_pdf.assign(allowed=pd.array([], dtype="int32"))
         if len(rob_pdf) == 0 or rob_pdf[robots_txt_col].iloc[0] is None:
-            return cand_pdf.assign(allowed=1)
-        rules = parse_robots(rob_pdf[robots_txt_col].iloc[0], user_agent)
+            rules = None  # unreachable robots.txt: no restrictions
+        else:
+            rules = parse_robots(rob_pdf[robots_txt_col].iloc[0], user_agent)
+        # a NULL path is a malformed candidate: drop it rather than
+        # crash the task (crawl-must-survive-bad-input posture)
         flags = [
-            1 if is_allowed(rules, p) else 0 for p in cand_pdf[path_col]
+            0
+            if p is None
+            else (1 if rules is None or is_allowed(rules, p) else 0)
+            for p in cand_pdf[path_col]
         ]
         return cand_pdf.assign(allowed=pd.array(flags, dtype="int32"))
 

@@ -295,6 +295,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Cluster duplicate pairs into components: (vertex, component)
     where component = the smallest vertex id reachable — the standard
@@ -309,6 +310,10 @@ def connected_components(
     large-star/small-star optimization (Kiveris et al.), which this
     deliberately plain version documents rather than implements.
     Deterministic: labels are data (min ids), never scheduling order.
+    Raises if ``max_iter`` is exhausted before convergence (silently
+    returning intermediate labels would split real clusters).  The
+    returned frame is persisted (its lineage is the whole iteration);
+    loop-callers pass ``persisted_out`` to unpersist it after use.
     """
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -321,6 +326,7 @@ def connected_components(
         .persist()
     )
     sym = sym.persist()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -353,8 +359,18 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations (graph diameter exceeds max_iter); raise "
+            f"max_iter — returning partial labels would split clusters"
+        )
+    if persisted_out is not None:
+        persisted_out.append(labels)
     return labels.select(F.col("v"), F.col("c").alias("component"))
 
 

@@ -84,11 +84,15 @@ class CrawlEngine:
             CrawlEngine(..., fetch_stage=partial(
                 http_fetch_stage, fetch_fn=urllib_fetch))
 
-        The stage receives the repartitioned candidate frame (already
-        host-batched) and must append an ``html`` string column; extra
-        columns (status/fetch_error) are allowed and dropped.  The
-        default reads the deterministic synthetic web, which is what
-        the simulator-equality gates require.
+        The stage receives the selected candidate frame (no
+        pre-repartition — a grouped stage shuffles by host itself) and
+        must append an ``html`` string column.  If it also emits a
+        ``fetch_error`` column, rows with a non-null error are treated
+        as NOT fetched: excluded from docs/fetch_log/seen, host tokens
+        unspent, and left in the frontier for retry next round (count
+        reported as the ``fetch_errors`` metric).  The default reads
+        the deterministic synthetic web, which is what the
+        simulator-equality gates require.
         """
         self.spark = spark
         self.workdir = workdir
@@ -188,6 +192,8 @@ class CrawlEngine:
                 build_bloom(frontier, n_buckets=self.bloom_buckets), "bloom", 0
             )
         self.round = 0
+        self._frontier_rows = None  # re-count on the next round: a
+        # re-initialized engine must not size tasks from a stale crawl
         self.manifest["rounds"] = []
         self.manifest["seen_full_rounds"] = [0]
         self._save_manifest()
@@ -272,18 +278,34 @@ class CrawlEngine:
         max_par = self.spark.sparkContext.defaultParallelism * 2
         expected = min(self._frontier_rows, self.cap * self.n_hosts)
         par = max(1, min(max_par, -(-expected // 2048)))
-        batched = candidates.repartition(par, "host_id", "url_hash")
+        fetch_err_obs = None
         if self.fetch_stage is not None:
-            with_html = self.fetch_stage(batched)
+            # no pre-repartition: a grouped fetch stage (http_fetch_
+            # stage's applyInPandas) shuffles by host itself — a prior
+            # (host, url) exchange would just be shuffled again
+            with_html = self.fetch_stage(candidates)
+            if "fetch_error" in with_html.columns:
+                # failed fetches are NOT fetched: they are excluded
+                # here, never enter docs/fetch_log/seen, do not spend
+                # host tokens, and — because the frontier anti-join
+                # below removes only fetched url_hashes — stay in the
+                # frontier for retry next round
+                fetch_err_obs = Observation()
+                with_html = with_html.observe(
+                    fetch_err_obs,
+                    F.count(
+                        F.when(F.col("fetch_error").isNotNull(), 1)
+                    ).alias("errors"),
+                ).filter(F.col("fetch_error").isNull())
         else:
-            with_html = batched.withColumn(
-                "html", fetch_udf(self.n_hosts)(F.col("url"))
-            )
+            with_html = candidates.repartition(
+                par, "host_id", "url_hash"
+            ).withColumn("html", fetch_udf(self.n_hosts)(F.col("url")))
         fetched = (
             with_html.withColumn(
                 "ex", crawl_extract_udf()(F.col("url"), F.col("html"))
             )
-            .select(*batched.columns, "ex")
+            .select(*candidates.columns, "ex")
             .persist()
         )
         # one job: materialize fetch+extract AND collect per-partition
@@ -298,7 +320,16 @@ class CrawlEngine:
         _mark("fetch_extract")
         if n_fetched == 0:
             fetched.unpersist()
-            return {"round": r + 1, "fetched": 0, "stopped": True}
+            return {
+                "round": r + 1,
+                "fetched": 0,
+                "stopped": True,
+                "fetch_errors": (
+                    int(fetch_err_obs.get["errors"])
+                    if fetch_err_obs is not None
+                    else 0
+                ),
+            }
 
         # 4. link discovery -> canonical candidate URLs.  Robots rules
         #    come from the per-host cache table: rules are "fetched"
@@ -424,11 +455,17 @@ class CrawlEngine:
             # seen set as ONE snapshot (hash-partitioned) so the delta
             # chain — file count and scan cost per round — is bounded
             # for arbitrarily long crawls
-            par = self.spark.sparkContext.defaultParallelism
+            wpar = self.spark.sparkContext.defaultParallelism
             full = seen.select("url", "url_hash").unionByName(seen_delta)
-            writes.append((full.repartition(par, "url_hash"), "seen"))
+            seen_write = (full.repartition(wpar, "url_hash"), "seen")
         else:
-            writes.append((seen_delta, "seen"))
+            seen_write = (seen_delta, "seen")
+        # the seen write runs FIRST, alone: it pulls `fresh` through its
+        # persist (and fires the n_new observation), so the concurrent
+        # writes below read cached blocks — on a multi-executor cluster,
+        # racing cold consumers would each recompute the dedup plan
+        # (caches are per-executor), tripling the most expensive stage
+        self._write(*seen_write, nxt)
         writes.append((next_frontier, "frontier"))
         # per-host tables are tiny (one row per host): single-file
         # snapshots keep resume reads from opening dozens of stub files
@@ -472,6 +509,11 @@ class CrawlEngine:
             "round": nxt,
             "fetched": n_fetched,
             "discovered_new": n_new,
+            "fetch_errors": (
+                int(fetch_err_obs.get["errors"])
+                if fetch_err_obs is not None
+                else 0
+            ),
             "robots_cache_misses": n_robots_fetched,
             "wall_sec": round(time.time() - t0, 3),
             "sections": sections,

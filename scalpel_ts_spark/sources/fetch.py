@@ -189,9 +189,9 @@ def http_fetch_stage(
     (Either as columns) rather than failing the stage — a crawl must
     survive bad pages.
 
-    Callers repartition by (host, url) row count first (see
-    plans/frontier.py step 3) — AQE sizes partitions by bytes, not
-    fetch latency.
+    The groupBy shuffles by host itself, so callers should NOT
+    pre-repartition (plans/frontier.py skips its row-count repartition
+    when a grouped fetch stage is plugged in).
     """
     out_schema = StructType(list(df.schema.fields) + FETCH_RESULT_FIELDS)
     in_names = [f.name for f in df.schema.fields]

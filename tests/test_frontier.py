@@ -168,3 +168,36 @@ def test_pluggable_http_fetch_stage_matches_simulator(
     eng.run(ROUNDS)
     assert _engine_log(eng) == _sim_log(sim_state)
     assert {r.url for r in eng.seen().collect()} == sim_state.seen
+
+
+def _flaky_http(url):
+    # page 0 of host h1 always fails; everything else succeeds
+    from scalpel_ts_spark.sources.synthetic import html_for_url
+
+    if url == make_url(1, 0):
+        raise OSError("connection reset")
+    return (200, "text/html; charset=utf-8",
+            html_for_url(url, N_HOSTS).encode("utf-8"))
+
+
+def test_fetch_errors_stay_in_frontier_for_retry(spark, tmp_path_factory):
+    from functools import partial
+
+    from scalpel_ts_spark.sources.fetch import http_fetch_stage
+
+    wd = str(tmp_path_factory.mktemp("crawl_flaky"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
+        fetch_stage=partial(http_fetch_stage, fetch_fn=_flaky_http),
+    )
+    eng.init(SEEDS)  # SEEDS includes make_url(1, 0)
+    m1 = eng.run_round()
+    assert m1["fetch_errors"] == 1
+    # the failed URL was neither logged as fetched nor dropped: it is
+    # still in the next frontier for retry
+    logged = {r.url for r in eng.fetch_log().collect()}
+    assert make_url(1, 0) not in logged
+    frontier = {
+        r.url for r in spark.read.parquet(f"{wd}/frontier/r1").collect()
+    }
+    assert make_url(1, 0) in frontier

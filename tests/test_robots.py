@@ -105,3 +105,34 @@ def test_robots_filter_stage_cogrouped(spark):
         for r in robots_filter_stage(cand, robots).collect()
     }
     assert kept == {(0, "/fine"), (1, "/ok/page"), (2, "/anything")}
+
+
+def test_agent_matching_is_prefix_of_product_token():
+    # substring-but-not-prefix groups must NOT capture us ("park" is
+    # inside "scalpel-ts-spark" but is no prefix); prefix groups do
+    txt = "User-agent: park\nDisallow: /\nUser-agent: *\nAllow: /"
+    assert _decide(txt, "scalpel-ts-spark/0.2", "/x")
+    pfx = "User-agent: scalpel\nDisallow: /priv/\nUser-agent: *\nAllow: /"
+    assert not _decide(pfx, "scalpel-ts-spark/0.2", "/priv/x")
+
+
+def test_non_group_fields_do_not_split_ua_runs():
+    # Crawl-delay/Sitemap between UA lines must not orphan the first
+    # agent into an empty group
+    txt = "User-agent: a\nCrawl-delay: 10\nUser-agent: b\nDisallow: /x"
+    assert not _decide(txt, "a", "/x/1")
+    assert not _decide(txt, "b", "/x/1")
+
+
+def test_null_path_candidates_are_dropped_not_crashing(spark):
+    robots = spark.createDataFrame(
+        [(0, "User-agent: *\nAllow: /")], ["host_id", "robots_txt"]
+    )
+    cand = spark.createDataFrame(
+        [(0, "/fine"), (0, None), (1, None)], ["host_id", "path"]
+    )
+    kept = {
+        (r["host_id"], r["path"])
+        for r in robots_filter_stage(cand, robots).collect()
+    }
+    assert kept == {(0, "/fine")}

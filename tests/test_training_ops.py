@@ -255,3 +255,16 @@ def test_connected_components_chain_and_clique(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from scalpel_ts_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2).collect()
+    # and converges fine with enough iterations
+    got = connected_components(chain, max_iter=10).collect()
+    assert {r["component"] for r in got} == {0}
