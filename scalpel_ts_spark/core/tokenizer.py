@@ -40,7 +40,49 @@ from __future__ import annotations
 
 import re
 from html import unescape
+from html.entities import html5 as _HTML5
 from typing import NamedTuple, Union
+
+# WHATWG character-reference shape (same pattern CPython's
+# html.unescape uses): numeric, hex-numeric, or a named run of up to
+# 32 non-terminator chars, each with an optional trailing ';'
+_CHARREF_RE = re.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)"
+)
+
+
+def _replace_charref_attr(m: "re.Match[str]") -> str:
+    g = m.group(1)
+    if g.startswith("#"):
+        # numeric references decode identically in both modes
+        return unescape(m.group(0))
+    if g in _HTML5:
+        # exact table hit; if it lacks ';' the char after the match is
+        # a terminator (alnum/'=' would have been inside the match), so
+        # the attribute-mode exception cannot apply
+        return _HTML5[g]
+    for x in range(len(g) - 1, 1, -1):
+        if g[:x] in _HTML5:
+            nxt = g[x]
+            if nxt == "=" or (nxt.isascii() and nxt.isalnum()):
+                return "&" + g
+            return _HTML5[g[:x]] + g[x:]
+    return "&" + g
+
+
+def unescape_attr(s: str) -> str:
+    """Entity-decode an ATTRIBUTE value per WHATWG's attribute-mode
+    rule: a legacy (semicolon-less) named reference followed by ``=``
+    or an ASCII alphanumeric is left literal (``?a=1&ampb=2`` keeps
+    ``&ampb``), unlike text content where ``&amp`` always decodes.
+    htmlparser2's default ``decodeEntities: true`` (what the reference
+    constructs at Tokenizer.ts:192 — no options) applies exactly this
+    split via the ``entities`` decoder; Python's ``html.unescape`` only
+    implements text mode, so attribute sites use this variant.
+    """
+    if "&" not in s:
+        return s
+    return _CHARREF_RE.sub(_replace_charref_attr, s)
 
 # JS String.trim() also strips BOM and NBSP; Python's default strip()
 # covers NBSP but not BOM, so be explicit.
@@ -282,9 +324,9 @@ def parse(source: str) -> list:
                         if raw is None:
                             value = ""
                         elif raw[:1] in "\"'":
-                            value = unescape(raw[1:-1])
+                            value = unescape_attr(raw[1:-1])
                         else:
-                            value = unescape(raw)
+                            value = unescape_attr(raw)
                         attrs_list.append((key, value))
                     attrs_list.sort(key=lambda kv: kv[0])
                     attrs = tuple(attrs_list)
@@ -379,13 +421,13 @@ def _parse_tag(s, lt, n, emit_open, implied_closes_for_open, moved):
                 if endq == -1:
                     moved[0] = True
                     return -1
-                value = unescape(s[v:endq])
+                value = unescape_attr(s[v:endq])
                 i = endq + 1
             else:
                 v = i
                 while i < n and s[i] not in _UNQUOTED_END:
                     i += 1
-                value = unescape(s[v:i])
+                value = unescape_attr(s[v:i])
         if key and key not in seen_keys:
             seen_keys.add(key)
             attrs.append((key, value))

@@ -127,21 +127,49 @@ def robots_filter_stage(
 
     Cogrouped by host: each task parses ONE host's robots body once and
     vets that host's whole candidate batch — the partition-owned shape
-    that scales to 10^7 hosts without broadcasting rule state.  A host
-    with no robots row is fully allowed (RFC 9309 §2.3.1.2: unreachable
-    robots.txt means no restrictions for the 4xx class).
+    that scales to 10^7 hosts without broadcasting rule state.
+
+    Error-class conventions (RFC 9309 §2.3.1):
+
+    * no robots row, or a NULL body — "unreachable / 4xx" class: the
+      host is fully allowed (§2.3.1.2-3);
+    * a 5xx robots fetch should be written by the fetcher as the body
+      ``"User-agent: *\\nDisallow: /"`` — the parser then yields
+      disallow-all naturally, matching §2.3.1.4's MUST-assume-complete-
+      disallow for server errors (there is no separate status column to
+      lose on the way through the cache table);
+    * if the robots table carries several rows for one host (e.g. a
+      re-fetch landed next to a cached row), the row with the greatest
+      ``fetch_time`` column wins when present, else the lexicographically
+      greatest body — deterministic under pandas cogroup order either
+      way.
     """
     out_schema = StructType(
         list(candidates.schema.fields) + [StructField("allowed", IntegerType())]
     )
 
+    def _pick_body(rob_pdf: pd.DataFrame):
+        if len(rob_pdf) == 0:
+            return None
+        if len(rob_pdf) > 1:
+            if "fetch_time" in rob_pdf.columns:
+                rob_pdf = rob_pdf.sort_values(
+                    ["fetch_time", robots_txt_col], na_position="first"
+                )
+            else:
+                rob_pdf = rob_pdf.sort_values(
+                    robots_txt_col, na_position="first"
+                )
+        return rob_pdf[robots_txt_col].iloc[-1]
+
     def _vet(cand_pdf: pd.DataFrame, rob_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cand_pdf) == 0:
             return cand_pdf.assign(allowed=pd.array([], dtype="int32"))
-        if len(rob_pdf) == 0 or rob_pdf[robots_txt_col].iloc[0] is None:
+        body = _pick_body(rob_pdf)
+        if body is None:
             rules = None  # unreachable robots.txt: no restrictions
         else:
-            rules = parse_robots(rob_pdf[robots_txt_col].iloc[0], user_agent)
+            rules = parse_robots(body, user_agent)
         # a NULL path is a malformed candidate: drop it rather than
         # crash the task (crawl-must-survive-bad-input posture)
         flags = [

@@ -100,18 +100,18 @@ def media_features(
 
     Output columns: everything in ``df`` minus the blob, plus
     MEDIA_META_SCHEMA fields.  mapInPandas (not a scalar UDF) so one
-    task streams many small batches — bounded memory on wide blobs;
-    pass ``max_records_per_batch`` to cap rows per Arrow batch.  The
-    knob is a SESSION conf read at execution time (Spark has no
-    per-stage form), so setting it here re-tunes every Arrow stage
-    that executes afterwards — which is why the default is None
-    (caller owns the knob) rather than silently resizing the session.
+    task streams many small batches — bounded memory on wide blobs.
+
+    ``max_records_per_batch`` caps the rows processed (and yielded)
+    per pandas frame by re-slicing INSIDE the UDF.  It deliberately
+    does NOT touch ``spark.sql.execution.arrow.maxRecordsPerBatch``:
+    that is a session-wide conf read at execution time, and mutating
+    it here would silently re-tune every later Arrow stage in the
+    session (round-2 ADVICE).  The JVM->Python transfer size of the
+    *incoming* batches remains governed by that session conf, which
+    the caller owns and should scope explicitly if blob rows are so
+    wide that even transfer must shrink.
     """
-    if max_records_per_batch is not None:
-        df.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(max_records_per_batch),
-        )
     keep = [f for f in df.schema.fields if f.name != blob_col]
     out_schema = StructType(
         keep
@@ -126,30 +126,33 @@ def media_features(
     keep_names = [f.name for f in keep]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = pdf[blob_col]
-            mimes, nbytes, widths, heights, frames = [], [], [], [], []
-            for b in blobs:
-                if b is None:
-                    mimes.append(None)
-                    nbytes.append(None)
-                    widths.append(None)
-                    heights.append(None)
-                    frames.append(None)
-                    continue
-                w, h, _ = decode_image(bytes(b), fake=fake_decode)
-                mimes.append("image/x-fake")
-                nbytes.append(len(b))
-                widths.append(w)
-                heights.append(h)
-                frames.append(1 + len(b) % 7)
-            out = pdf[keep_names].copy()
-            out["mime"] = mimes
-            out["n_bytes"] = pd.array(nbytes, dtype="Int64")
-            out["width"] = pd.array(widths, dtype="Int32")
-            out["height"] = pd.array(heights, dtype="Int32")
-            out["n_frames"] = pd.array(frames, dtype="Int32")
-            yield out
+        for full in batches:
+            step = max_records_per_batch or len(full) or 1
+            for lo in range(0, len(full), step):
+                pdf = full.iloc[lo : lo + step]
+                blobs = pdf[blob_col]
+                mimes, nbytes, widths, heights, frames = [], [], [], [], []
+                for b in blobs:
+                    if b is None:
+                        mimes.append(None)
+                        nbytes.append(None)
+                        widths.append(None)
+                        heights.append(None)
+                        frames.append(None)
+                        continue
+                    w, h, _ = decode_image(bytes(b), fake=fake_decode)
+                    mimes.append("image/x-fake")
+                    nbytes.append(len(b))
+                    widths.append(w)
+                    heights.append(h)
+                    frames.append(1 + len(b) % 7)
+                out = pdf[keep_names].copy()
+                out["mime"] = mimes
+                out["n_bytes"] = pd.array(nbytes, dtype="Int64")
+                out["width"] = pd.array(widths, dtype="Int32")
+                out["height"] = pd.array(heights, dtype="Int32")
+                out["n_frames"] = pd.array(frames, dtype="Int32")
+                yield out
 
     return df.mapInPandas(_extract, out_schema)
 

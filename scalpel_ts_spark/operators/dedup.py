@@ -290,12 +290,104 @@ def minhash_near_duplicates(
     return _verify_jaccard(pairs, threshold)
 
 
+def _star_components(
+    sym: DataFrame,
+    persisted_out: list | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond").
+
+    Alternates two edge rewrites until fixpoint — large-star hangs
+    every bigger-id neighbor of a node onto the node's minimum
+    neighbor; small-star does the same for the smaller-id side — which
+    provably converges to one star per component, centered at the
+    component's minimum id, in O(log^2 n) rounds (O(log n) observed)
+    REGARDLESS of graph diameter.  This is the 10^10-vertex path for
+    adversarial chain-shaped dup graphs (template-induced near-dup
+    chains), where plain min-label propagation needs O(diameter)
+    shuffles.  Every step is a JVM-side join + hash aggregate on
+    (src, dst) pairs; nothing is collected.
+
+    Input: a symmetric (src, dst) edge frame.  Output: (v, component).
+
+    Each alternation references the previous edge set several times
+    (both orientations, the min-aggregate, the join-back, the fixpoint
+    subtract), so the logical plan would grow geometrically across
+    iterations — caching alone does not truncate plans, only data.
+    Every round therefore ends in ``localCheckpoint`` (lineage cut,
+    blocks on executors); a production run on a real cluster would use
+    a reliable checkpoint dir / the Iceberg scratch table instead, same
+    shape.
+    """
+    # canonical orientation big -> small; every rewrite below preserves
+    # src > dst, so 'distinct' is a true edge-set dedup
+    e = sym.filter(F.col("src") > F.col("dst")).distinct().localCheckpoint()
+    converged = False
+    for _ in range(max_iter):
+        s = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
+        mins = (
+            s.groupBy("src")
+            .agg(F.min("dst").alias("mnd"))
+            .select("src", F.least(F.col("mnd"), F.col("src")).alias("m"))
+        )
+        lg = (
+            s.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") > F.col("dst"))
+            .distinct()
+        )
+        # small-star on the big->small edges: m(u) = min of u's smaller
+        # neighbors; emit (u, m) and (w, m) for every smaller neighbor w
+        mins2 = lg.groupBy("src").agg(F.min("dst").alias("m"))
+        sm = (
+            lg.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") > F.col("dst"))
+            .unionByName(mins2.select("src", F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            sm.subtract(e).limit(1).count()
+            + e.subtract(sm).limit(1).count()
+        )
+        e = sm
+        if changed == 0:
+            converged = True
+            break
+    if not converged:  # pragma: no cover - O(log^2 n) bound
+        raise RuntimeError(
+            f"star connected components did not reach fixpoint in "
+            f"{max_iter} alternations"
+        )
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    labels = (
+        verts.join(
+            e.select(F.col("src").alias("v"), F.col("dst").alias("c")),
+            "v",
+            "left",
+        )
+        .groupBy("v")
+        .agg(F.min(F.coalesce(F.col("c"), F.col("v"))).alias("component"))
+        .persist()
+    )
+    if persisted_out is not None:
+        persisted_out.append(labels)
+    return labels.select("v", "component")
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
     persisted_out: list | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Cluster duplicate pairs into components: (vertex, component)
     where component = the smallest vertex id reachable — the standard
@@ -305,14 +397,22 @@ def connected_components(
     its own and its neighbors' labels; converges in graph-diameter
     iterations (each is one shuffle-join + one hash aggregate, all
     JVM-side).  Dup clusters are near-cliques, so the diameter — and
-    the iteration count — is tiny in practice; for adversarial
-    long-chain graphs at 10^10 vertices the same loop slots in the
-    large-star/small-star optimization (Kiveris et al.), which this
-    deliberately plain version documents rather than implements.
-    Deterministic: labels are data (min ids), never scheduling order.
-    Raises if ``max_iter`` is exhausted before convergence (silently
-    returning intermediate labels would split real clusters).  The
-    returned frame is persisted (its lineage is the whole iteration);
+    the iteration count — is tiny in practice.
+
+    ``method``:
+
+    * ``"auto"`` (default) — plain propagation up to ``max_iter``;
+      if the graph's diameter exceeds the budget, fall back to the
+      O(log^2 n) large-star/small-star algorithm
+      (:func:`_star_components`) instead of failing;
+    * ``"star"`` — go straight to large-star/small-star (the choice
+      for graphs known to be chain-shaped);
+    * ``"plain"`` — propagation only; RAISES on non-convergence
+      (silently returning intermediate labels would split clusters).
+
+    Both methods are deterministic (labels are data — min ids — never
+    scheduling order) and produce identical output.  The returned
+    frame is persisted (its lineage is the whole iteration);
     loop-callers pass ``persisted_out`` to unpersist it after use.
     """
     sym = edges.select(
@@ -320,6 +420,8 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    if method == "star":
+        return _star_components(sym, persisted_out)
     labels = (
         sym.select(F.col("src").alias("v")).distinct()
         .withColumn("c", F.col("v"))
@@ -364,10 +466,16 @@ def connected_components(
     sym.unpersist()
     if not converged:
         labels.unpersist()
+        if method == "auto":
+            # diameter exceeded the propagation budget: switch to the
+            # O(log^2 n) star algorithm rather than failing — correct
+            # on any graph, just costlier per round
+            return _star_components(sym, persisted_out)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             f"iterations (graph diameter exceeds max_iter); raise "
-            f"max_iter — returning partial labels would split clusters"
+            f"max_iter or use method='auto'/'star' — returning partial "
+            f"labels would split clusters"
         )
     if persisted_out is not None:
         persisted_out.append(labels)

@@ -59,6 +59,55 @@ TABLES = (
     "frontier", "seen", "host_state", "docs", "fetch_log", "bloom", "robots"
 )
 
+#: ~24 MB of longs — comfortably under Spark's driver/executor broadcast
+#: comfort zone; above this the anti-join falls back to a plain shuffle
+DEFAULT_BROADCAST_FETCHED_MAX = 3_000_000
+
+#: per-host tables (one row per host) are collected and written driver-
+#: side below this row count: no distributed-write job, no commit-
+#: protocol renames.  Above it (10^7-host design point) they stay
+#: distributed writes.
+DRIVER_WRITE_MAX_ROWS = 1_000_000
+
+
+def frontier_anti_join(
+    frontier: DataFrame,
+    fetched_keys: DataFrame,
+    expected_rows: int,
+    broadcast_max: int = DEFAULT_BROADCAST_FETCHED_MAX,
+) -> DataFrame:
+    """``frontier MINUS fetched`` on url_hash — the per-round frontier
+    update.
+
+    The fetched side is bounded by the round budget (cap x n_hosts,
+    known a priori), so when that bound is under ``broadcast_max`` the
+    join broadcasts it and the frontier is never shuffled.  At design-
+    point budgets (10^7 hosts x 8 tokens ~ 10^8 rows) a forced
+    broadcast would OOM the driver, so past the threshold this stays a
+    plain left_anti join and lets AQE pick the strategy from observed
+    sizes (round-2 verdict finding #1).
+    """
+    if expected_rows <= broadcast_max:
+        fetched_keys = F.broadcast(fetched_keys)
+    return frontier.join(fetched_keys, "url_hash", "left_anti")
+
+
+def _coalesce_for_write(
+    df: DataFrame, est_rows: int, rows_per_file: int = 262_144
+) -> DataFrame:
+    """Bound a snapshot's output file count by its (known) row count.
+
+    Small snapshots otherwise inherit one file per upstream partition —
+    dozens of near-empty parquet files whose commit-protocol renames
+    dominate round latency on shared disks.  Only applied when the
+    estimate calls for FEWER files than typical task counts (the
+    coalesce is a narrow dependency and would otherwise cap scan
+    parallelism on genuinely large tables)."""
+    n_files = max(1, -(-est_rows // rows_per_file))
+    if n_files <= 64:
+        return df.coalesce(n_files)
+    return df
+
 
 class CrawlEngine:
     def __init__(
@@ -75,6 +124,8 @@ class CrawlEngine:
         compact_every: int = 8,
         storage: SnapshotStorage | None = None,
         fetch_stage=None,
+        max_fetch_retries: int = 3,
+        broadcast_fetched_max: int = DEFAULT_BROADCAST_FETCHED_MAX,
     ):
         """``fetch_stage``: optional ``df -> df + html column`` callable
         replacing the synthetic fetcher — the production seam.  E.g.::
@@ -93,6 +144,17 @@ class CrawlEngine:
         reported as the ``fetch_errors`` metric).  The default reads
         the deterministic synthetic web, which is what the
         simulator-equality gates require.
+
+        ``max_fetch_retries``: a row that keeps erroring is retried at
+        most this many times (its ``fails`` count rides the frontier),
+        then dropped — permanently failing URLs must not monopolize a
+        host's politeness budget forever (round-2 ADVICE, high).  The
+        same bound caps consecutive ALL-error rounds before ``run``
+        stops: transient total outages retry, genuine dead-ends halt.
+
+        ``broadcast_fetched_max``: the fetched-set anti-join broadcasts
+        only while the round budget (cap x n_hosts) is under this row
+        count; see :func:`frontier_anti_join`.
         """
         self.spark = spark
         self.workdir = workdir
@@ -106,8 +168,11 @@ class CrawlEngine:
         self.compact_every = compact_every
         self.storage = storage or ParquetSnapshotStorage(spark, workdir)
         self.fetch_stage = fetch_stage
+        self.max_fetch_retries = max_fetch_retries
+        self.broadcast_fetched_max = broadcast_fetched_max
         self.round = 0
         self._frontier_rows: int | None = None
+        self._consec_all_error_rounds = 0
         self.manifest = {
             "config": self._config(),
             "rounds": [],
@@ -123,12 +188,26 @@ class CrawlEngine:
             "use_bloom": self.use_bloom,
             "bloom_buckets": self.bloom_buckets,
             "compact_every": self.compact_every,
+            "max_fetch_retries": self.max_fetch_retries,
+            "broadcast_fetched_max": self.broadcast_fetched_max,
         }
 
     # --- snapshot IO (thin delegates onto the storage seam) ---------------
 
     def _write(self, df: DataFrame, table: str, rnd: int):
         self.storage.write(df, table, rnd)
+
+    def _write_per_host(self, df: DataFrame, table: str, rnd: int):
+        """Per-host tables (host_state, robots): one row per host, so
+        under DRIVER_WRITE_MAX_ROWS they take the storage seam's
+        driver-side write (no distributed job, no commit-protocol
+        renames); past it they stay distributed, file count bounded."""
+        if self.n_hosts <= DRIVER_WRITE_MAX_ROWS:
+            self.storage.write_small(df, table, rnd)
+        else:
+            self.storage.write(
+                _coalesce_for_write(df, self.n_hosts), table, rnd
+            )
 
     def _read(self, table: str, rnd: int) -> DataFrame:
         return self.storage.read(table, rnd)
@@ -172,15 +251,16 @@ class CrawlEngine:
             F.lit(0).alias("priority"),
             seq_col(F.col("url")).alias("seq"),
             url_hash(F.col("url")).alias("url_hash"),
+            F.lit(0).alias("fails"),  # fetch-retry count (bounded)
         )
         self._write(frontier, "frontier", 0)
         self._write(frontier.select("url", "url_hash"), "seen", 0)
-        self._write(
+        self._write_per_host(
             self.spark.createDataFrame([], "host_id long, tokens int"),
             "host_state",
             0,
         )
-        self._write(
+        self._write_per_host(
             self.spark.createDataFrame(
                 [], "host_id long, disallow_mod int, disallow_rem int"
             ),
@@ -278,58 +358,78 @@ class CrawlEngine:
         max_par = self.spark.sparkContext.defaultParallelism * 2
         expected = min(self._frontier_rows, self.cap * self.n_hosts)
         par = max(1, min(max_par, -(-expected // 2048)))
-        fetch_err_obs = None
+        has_err = False
         if self.fetch_stage is not None:
             # no pre-repartition: a grouped fetch stage (http_fetch_
             # stage's applyInPandas) shuffles by host itself — a prior
             # (host, url) exchange would just be shuffled again
             with_html = self.fetch_stage(candidates)
-            if "fetch_error" in with_html.columns:
-                # failed fetches are NOT fetched: they are excluded
-                # here, never enter docs/fetch_log/seen, do not spend
-                # host tokens, and — because the frontier anti-join
-                # below removes only fetched url_hashes — stay in the
-                # frontier for retry next round
-                fetch_err_obs = Observation()
-                with_html = with_html.observe(
-                    fetch_err_obs,
-                    F.count(
-                        F.when(F.col("fetch_error").isNotNull(), 1)
-                    ).alias("errors"),
-                ).filter(F.col("fetch_error").isNull())
+            has_err = "fetch_error" in with_html.columns
         else:
             with_html = candidates.repartition(
                 par, "host_id", "url_hash"
             ).withColumn("html", fetch_udf(self.n_hosts)(F.col("url")))
-        fetched = (
+        # failed fetches are NOT fetched: excluded from docs/fetch_log/
+        # seen and host tokens unspent — but their url_hashes are kept
+        # as DATA (not just a count) so the frontier update below can
+        # bump each row's retry counter and drop rows past
+        # max_fetch_retries instead of re-selecting a permanently
+        # failing URL every round (round-2 ADVICE, high)
+        keep_cols = list(candidates.columns) + (
+            ["fetch_error"] if has_err else []
+        )
+        fetched_all = (
             with_html.withColumn(
                 "ex", crawl_extract_udf()(F.col("url"), F.col("html"))
             )
-            .select(*candidates.columns, "ex")
+            .select(*keep_cols, "ex")
             .persist()
         )
+        err = (
+            F.col("fetch_error").isNotNull() if has_err else F.lit(False)
+        )
         # one job: materialize fetch+extract AND collect per-partition
-        # lineage; n_fetched derives from the lineage rows
+        # lineage + error counts; n_fetched derives from the lineage
+        stats = (
+            fetched_all.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.count(F.when(~err, 1)).alias("rows"),
+                F.count(F.when(err, 1)).alias("errs"),
+            )
+            .collect()
+        )
         lineage = [
-            {"partition": row["pid"], "rows": row["rows"]}
-            for row in fetched.groupBy(
-                F.spark_partition_id().alias("pid")
-            ).agg(F.count("*").alias("rows")).collect()
+            {"partition": row["pid"], "rows": row["rows"]} for row in stats
         ]
-        n_fetched = sum(p["rows"] for p in lineage)
+        n_fetched = sum(row["rows"] for row in stats)
+        n_errors = sum(row["errs"] for row in stats)
+        fetched = (
+            fetched_all.filter(~err).drop("fetch_error")
+            if has_err
+            else fetched_all
+        )
         _mark("fetch_extract")
         if n_fetched == 0:
-            fetched.unpersist()
+            fetched_all.unpersist()
+            # 'frontier exhausted' and 'every fetch failed this round'
+            # are different conditions (round-2 ADVICE, medium): a
+            # clean empty round ends the crawl; an all-error round is
+            # retried (tokens refill, rows kept) up to
+            # max_fetch_retries consecutive times, then the crawl
+            # stops rather than spinning on a dead network
+            if n_errors > 0:
+                self._consec_all_error_rounds += 1
+            stopped = (
+                n_errors == 0
+                or self._consec_all_error_rounds >= self.max_fetch_retries
+            )
             return {
                 "round": r + 1,
                 "fetched": 0,
-                "stopped": True,
-                "fetch_errors": (
-                    int(fetch_err_obs.get["errors"])
-                    if fetch_err_obs is not None
-                    else 0
-                ),
+                "stopped": stopped,
+                "fetch_errors": n_errors,
             }
+        self._consec_all_error_rounds = 0
 
         # 4. link discovery -> canonical candidate URLs.  Robots rules
         #    come from the per-host cache table: rules are "fetched"
@@ -354,11 +454,17 @@ class CrawlEngine:
             .distinct()
             .join(robots_prev.select("host_id"), "host_id", "left_anti")
         )
-        # one job on the (tiny) DELTA of new rules — counting the full
-        # cache twice per round paid two jobs for the same number
+        # the cache-miss count rides the robots snapshot write as an
+        # Observation (like n_new below) instead of paying a dedicated
+        # count job per round; new_rules stays persisted because two
+        # consumers pull it (the discovery broadcast join + the write)
         new_rules = fetch_robots_rules(new_hosts).persist()
-        n_robots_fetched = new_rules.count()
-        robots = robots_prev.unionByName(new_rules)
+        robots_obs = Observation()
+        robots = robots_prev.unionByName(
+            new_rules.observe(
+                robots_obs, F.count(F.lit(1)).alias("n_new_rules")
+            )
+        )
         _mark("robots")
         discovered = (
             candidates_raw.join(F.broadcast(robots), "host_id")
@@ -374,6 +480,7 @@ class CrawlEngine:
                 F.lit(r + 1).alias("priority"),
                 seq_col(F.col("url")).alias("seq"),
                 url_hash(F.col("url")).alias("url_hash"),
+                F.lit(0).alias("fails"),
             )
         )
 
@@ -397,11 +504,37 @@ class CrawlEngine:
         ).select("url", "url_hash")
 
         # 6. next frontier = pending - fetched + fresh.  The fetched
-        #    set is bounded by the round budget (≪ frontier), so the
-        #    anti-join broadcasts it instead of shuffling the frontier
-        next_frontier = frontier.join(
-            F.broadcast(fetched.select("url_hash")), "url_hash", "left_anti"
-        ).unionByName(fresh)
+        #    set is bounded by the round budget (cap x n_hosts, known a
+        #    priori): broadcast only while that bound is small, else a
+        #    plain anti-join (frontier_anti_join)
+        round_budget = self.cap * self.n_hosts
+        kept = frontier_anti_join(
+            frontier,
+            fetched.select("url_hash"),
+            round_budget,
+            self.broadcast_fetched_max,
+        )
+        if has_err and n_errors > 0:
+            # errored rows stay, with a bumped retry counter; rows past
+            # the retry budget are dropped so a permanently failing URL
+            # cannot occupy its host's top-k selection forever
+            err_keys = fetched_all.filter(err).select(
+                "url_hash", F.lit(1).alias("_errored")
+            )
+            if round_budget <= self.broadcast_fetched_max:
+                err_keys = F.broadcast(err_keys)
+            kept = (
+                kept.join(err_keys, "url_hash", "left")
+                .withColumn(
+                    "fails",
+                    F.when(
+                        F.col("_errored") == 1, F.col("fails") + 1
+                    ).otherwise(F.col("fails")),
+                )
+                .drop("_errored")
+                .filter(F.col("fails") <= F.lit(self.max_fetch_retries))
+            )
+        next_frontier = kept.unionByName(fresh)
 
         # 7. spend tokens
         spent = fetched.groupBy("host_id").agg(F.count("*").alias("used"))
@@ -426,24 +559,34 @@ class CrawlEngine:
         if self.write_docs:
             writes.append(
                 (
-                    fetched.select(
-                        "url",
-                        F.lit(nxt).alias("round"),
-                        F.col("ex.title").alias("title"),
-                        F.col("ex.spans").alias("spans"),
+                    _coalesce_for_write(
+                        fetched.select(
+                            "url",
+                            F.lit(nxt).alias("round"),
+                            F.col("ex.title").alias("title"),
+                            F.col("ex.spans").alias("spans"),
+                        ),
+                        n_fetched,
+                        # docs rows are wide (span arrays): smaller
+                        # files keep the parquet ENCODE parallel — at
+                        # bench scale ~8 writer tasks, not 1-2
+                        rows_per_file=8_192,
                     ),
                     "docs",
                 )
             )
         writes.append(
             (
-                fetched.select(
-                    F.lit(r).alias("round"),
-                    "priority",
-                    "seq",
-                    "url",
-                    "host_id",
-                    F.size("ex.links").alias("n_links"),
+                _coalesce_for_write(
+                    fetched.select(
+                        F.lit(r).alias("round"),
+                        "priority",
+                        "seq",
+                        "url",
+                        "host_id",
+                        F.size("ex.links").alias("n_links"),
+                    ),
+                    n_fetched,
                 ),
                 "fetch_log",
             )
@@ -459,34 +602,68 @@ class CrawlEngine:
             full = seen.select("url", "url_hash").unionByName(seen_delta)
             seen_write = (full.repartition(wpar, "url_hash"), "seen")
         else:
-            seen_write = (seen_delta, "seen")
+            # delta volume is bounded by the round's discovery
+            # amplification (~8 links/page)
+            seen_write = (
+                _coalesce_for_write(seen_delta, n_fetched * 8), "seen"
+            )
         # the seen write runs FIRST, alone: it pulls `fresh` through its
         # persist (and fires the n_new observation), so the concurrent
         # writes below read cached blocks — on a multi-executor cluster,
         # racing cold consumers would each recompute the dedup plan
         # (caches are per-executor), tripling the most expensive stage
         self._write(*seen_write, nxt)
-        writes.append((next_frontier, "frontier"))
-        # per-host tables are tiny (one row per host): single-file
-        # snapshots keep resume reads from opening dozens of stub files
-        writes.append((host_state_next.repartition(1), "host_state"))
-        writes.append((robots.repartition(1), "robots"))
+        # the seen write carries the whole discovery+dedup pipeline
+        # (explode -> canonicalize -> robots filter -> bloom/anti-join),
+        # so it gets its own section: 'commit' below is pure snapshot-
+        # write cost, comparable round-to-round
+        _mark("seen_dedup")
+        kept_obs = None
+        frontier_df = next_frontier
+        if has_err and n_errors > 0:
+            # retry-capped drops make the arithmetic row tracker drift;
+            # an Observation on the kept branch rides the frontier
+            # write and restores the exact count
+            kept_obs = Observation()
+            frontier_df = kept.observe(
+                kept_obs, F.count(F.lit(1)).alias("n_kept")
+            ).unionByName(fresh)
+        writes.append(
+            (
+                _coalesce_for_write(
+                    frontier_df, self._frontier_rows + 8 * n_fetched
+                ),
+                "frontier",
+            )
+        )
         if self.use_bloom:
             # incremental: OR this round's new hashes into the previous
-            # bitmaps partition-locally — never rescans seen history
+            # bitmaps partition-locally — never rescans seen history;
+            # bitmap rows are ~bits/8 bytes each, pack ~64 MB per file
             writes.append(
                 (
-                    update_bloom(
-                        blooms, fresh.select("url_hash"),
-                        n_buckets=self.bloom_buckets,
+                    _coalesce_for_write(
+                        update_bloom(
+                            blooms, fresh.select("url_hash"),
+                            n_buckets=self.bloom_buckets,
+                        ),
+                        self.bloom_buckets,
+                        rows_per_file=4096,
                     ),
                     "bloom",
                 )
             )
-        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        # per-host tables are one row per host: below the driver-write
+        # bound they skip the distributed write (and its commit-protocol
+        # renames) entirely via storage.write_small
+        small = [(host_state_next, "host_state"), (robots, "robots")]
+        with ThreadPoolExecutor(max_workers=len(writes) + len(small)) as pool:
             futures = [
                 pool.submit(self._write, df, table, nxt)
                 for df, table in writes
+            ] + [
+                pool.submit(self._write_per_host, df, table, nxt)
+                for df, table in small
             ]
             for fut in futures:
                 fut.result()
@@ -496,12 +673,15 @@ class CrawlEngine:
             # treat a mere delta as the entire seen set
             self.manifest.setdefault("seen_full_rounds", [0]).append(nxt)
         n_new = int(n_new_obs.get["n_new"])
-        self._frontier_rows = self._frontier_rows - n_fetched + n_new
+        if kept_obs is not None:
+            self._frontier_rows = int(kept_obs.get["n_kept"]) + n_new
+        else:
+            self._frontier_rows = self._frontier_rows - n_fetched + n_new
         for cached in bloom_caches:
             cached.unpersist()
         candidates_raw.unpersist()
         new_rules.unpersist()
-        fetched.unpersist()
+        fetched_all.unpersist()
         fresh.unpersist()
         _mark("commit")
 
@@ -509,12 +689,8 @@ class CrawlEngine:
             "round": nxt,
             "fetched": n_fetched,
             "discovered_new": n_new,
-            "fetch_errors": (
-                int(fetch_err_obs.get["errors"])
-                if fetch_err_obs is not None
-                else 0
-            ),
-            "robots_cache_misses": n_robots_fetched,
+            "fetch_errors": n_errors,
+            "robots_cache_misses": int(robots_obs.get["n_new_rules"]),
             "wall_sec": round(time.time() - t0, 3),
             "sections": sections,
             "lineage": lineage,

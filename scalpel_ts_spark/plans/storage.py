@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 class SnapshotStorage(Protocol):
     def write(self, df: DataFrame, table: str, rnd: int) -> None: ...
 
+    def write_small(self, df: DataFrame, table: str, rnd: int) -> None:
+        """Write a small (driver-collectable) table — implementations
+        may skip the distributed write path entirely."""
+        ...
+
     def read(self, table: str, rnd: int) -> DataFrame: ...
 
     def read_union(self, table: str, rounds: Sequence[int]) -> DataFrame: ...
@@ -63,6 +68,25 @@ class ParquetSnapshotStorage:
 
     def write(self, df: DataFrame, table: str, rnd: int) -> None:
         df.write.mode("overwrite").parquet(self._path(table, rnd))
+
+    def write_small(self, df: DataFrame, table: str, rnd: int) -> None:
+        """Collect-to-driver + single pyarrow parquet file.
+
+        For per-host tables (one short row per host) the dominant cost
+        of ``df.write.parquet`` is the distributed commit protocol
+        (task files + renames on a shared disk), not the bytes; an
+        Arrow collect plus one local file write skips all of it.  Any
+        Observation riding ``df`` still fires (the collect is a job).
+        Caller owns the smallness bound (CrawlEngine:
+        DRIVER_WRITE_MAX_ROWS)."""
+        import pyarrow.parquet as pq
+
+        tbl = df.toArrow()
+        path = self._path(table, rnd)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path)
+        pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
 
     def read(self, table: str, rnd: int) -> DataFrame:
         return self.spark.read.parquet(self._path(table, rnd))
@@ -157,6 +181,11 @@ class IcebergSnapshotStorage:
         # atomic snapshot commit; re-running a failed round overwrites
         # only that round's partitions (idempotent resume)
         out.writeTo(self._name(table)).overwritePartitions()
+
+    def write_small(self, df: DataFrame, table: str, rnd: int) -> None:
+        # Iceberg commits are already metadata-atomic and cheap for
+        # small tables; no driver-side shortcut needed
+        self.write(df, table, rnd)
 
     def read(self, table: str, rnd: int) -> DataFrame:
         return (

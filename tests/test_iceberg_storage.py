@@ -1,0 +1,148 @@
+"""IcebergSnapshotStorage call-sequence coverage (VERDICT r2
+'what's missing' #1).
+
+The sandbox has no Iceberg jars, so the production storage class can
+never execute end-to-end here — but everything it SAYS to the cluster
+is strings and a writer-API call sequence, both checkable against a
+stub catalog: the DDL it issues (bucket specs, version partition
+column), the writeTo/overwritePartitions commit shape, idempotent
+table creation, round-pruned reads, manifest round-trip, and reset's
+drop list.  A real-cluster smoke run still owes one execution, but no
+code path is untested beyond the JVM boundary.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_ts_spark.plans.storage import IcebergSnapshotStorage
+
+
+class _FakeWriter:
+    def __init__(self, log, name):
+        self._log, self._name = log, name
+
+    def overwritePartitions(self):
+        self._log.append(("overwritePartitions", self._name))
+
+    def createOrReplace(self):
+        self._log.append(("createOrReplace", self._name))
+
+
+class _FakeDF:
+    """Delegates schema/column ops to a REAL DataFrame (so _ensure sees
+    genuine Spark types) but records writeTo instead of needing a
+    catalog."""
+
+    def __init__(self, real, log):
+        self._real, self._log = real, log
+
+    @property
+    def schema(self):
+        return self._real.schema
+
+    def withColumn(self, name, col):
+        return _FakeDF(self._real.withColumn(name, col), self._log)
+
+    def writeTo(self, name):
+        self._log.append(("writeTo", name, self._real))
+        return _FakeWriter(self._log, name)
+
+
+class _FakeConf:
+    def __init__(self, impl):
+        self._impl = impl
+
+    def get(self, key, default=None):
+        if key == "spark.sql.catalog.ice" and self._impl:
+            return "org.apache.iceberg.spark.SparkCatalog"
+        return default
+
+
+class _FakeSpark:
+    def __init__(self, spark, impl=True):
+        self._spark = spark
+        self.conf = _FakeConf(impl)
+        self.sqls = []
+        self.tables = {}
+        self.log = []
+
+    def sql(self, q):
+        self.sqls.append(q)
+
+    def table(self, name):
+        return self.tables[name]
+
+    def createDataFrame(self, data, schema):
+        return _FakeDF(self._spark.createDataFrame(data, schema), self.log)
+
+
+def test_constructor_fails_fast_without_catalog(spark):
+    with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        IcebergSnapshotStorage(_FakeSpark(spark, impl=False), "ice", "ns")
+
+
+def test_write_issues_bucketed_ddl_then_atomic_commit(spark):
+    fs = _FakeSpark(spark)
+    st = IcebergSnapshotStorage(fs, "ice", "ns")
+    seen = spark.createDataFrame([("u", 1)], "url string, url_hash bigint")
+    st.write(_FakeDF(seen, fs.log), "seen", 3)
+    (ddl,) = fs.sqls
+    assert "CREATE TABLE IF NOT EXISTS ice.ns.seen" in ddl
+    assert "url string" in ddl and "url_hash bigint" in ddl
+    assert "_snapshot_round int" in ddl
+    assert "PARTITIONED BY (_snapshot_round, bucket(512, url_hash))" in ddl
+    # the commit is one atomic overwritePartitions on the round
+    assert [op[0] for op in fs.log] == ["writeTo", "overwritePartitions"]
+    assert fs.log[0][1] == "ice.ns.seen"
+    written = fs.log[0][2]
+    assert written.filter(F.col("_snapshot_round") == 3).count() == 1
+    # second write of the same table: idempotent DDL (no re-CREATE)
+    st.write(_FakeDF(seen, fs.log), "seen", 4)
+    assert len(fs.sqls) == 1
+
+
+def test_bucket_specs_per_table(spark):
+    fs = _FakeSpark(spark)
+    st = IcebergSnapshotStorage(fs, "ice", "ns")
+    hs = spark.createDataFrame([(1, 2)], "host_id bigint, tokens int")
+    st.write(_FakeDF(hs, fs.log), "host_state", 0)
+    assert "bucket(64, host_id)" in fs.sqls[-1]
+    docs = spark.createDataFrame([("u",)], "url string")
+    st.write(_FakeDF(docs, fs.log), "docs", 0)
+    # no bucket spec: round partitioning only
+    assert "PARTITIONED BY (_snapshot_round)" in fs.sqls[-1]
+
+
+def test_read_prunes_to_round_and_drops_version_col(spark):
+    fs = _FakeSpark(spark)
+    st = IcebergSnapshotStorage(fs, "ice", "ns")
+    fs.tables["ice.ns.seen"] = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 2), ("c", 3, 2)],
+        "url string, url_hash bigint, _snapshot_round int",
+    )
+    got = st.read("seen", 2)
+    assert got.columns == ["url", "url_hash"]
+    assert {r.url for r in got.collect()} == {"b", "c"}
+    union = st.read_union("seen", [1, 2])
+    assert union.count() == 3
+
+
+def test_manifest_round_trip_and_reset(spark):
+    fs = _FakeSpark(spark)
+    st = IcebergSnapshotStorage(fs, "ice", "ns")
+    manifest = {"config": {"cap": 8}, "rounds": [{"round": 1}]}
+    st.save_manifest(manifest)
+    assert fs.log[-2:] == [
+        ("writeTo", "ice.ns.manifest", fs.log[-2][2]),
+        ("createOrReplace", "ice.ns.manifest"),
+    ]
+    fs.tables["ice.ns.manifest"] = spark.createDataFrame(
+        [(json.dumps(manifest),)], "manifest string"
+    )
+    assert st.load_manifest() == manifest
+    st.reset()
+    dropped = {q for q in fs.sqls if q.startswith("DROP TABLE IF EXISTS")}
+    for t in IcebergSnapshotStorage.ENGINE_TABLES:
+        assert f"DROP TABLE IF EXISTS ice.ns.{t}" in dropped

