@@ -728,6 +728,34 @@ FROM embeddings WHERE vec_id % 11 = 0
 """
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED centroids: spherical k-means (Lloyd's as
+    DataFrame aggregations) fits the cell centroids, then the same
+    broadcast-matrix assignment/probe path answers the queries.  The
+    scaled-copy-retrieves-original invariant is centroid-independent
+    (cosine is scale-invariant and the re-rank is exact), so the
+    closed-form oracle covers the full learned path end-to-end.
+    """
+    from scalpel_ts_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, n_cells=8, n_iter=3)
+    queries = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    top = ivf_topk(queries, emb, k=1, nprobe=2, centroids=cents)
+    return top.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
+
+
+_ANN_IVF_KMEANS_SQL = """
+SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id
+FROM embeddings WHERE vec_id % 13 = 0
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding end-to-end with a closed-form oracle: every
     doc_id % 3 == 0 document gets a CASE-CHANGED copy — identical
@@ -770,6 +798,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _neardup_corpus(spark, sf_dir), threshold=0.8
     )
     return connected_components(pairs).select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering, forced through the large-star/small-star path
+    (the O(log^2 n) variant for diameter-heavy dup graphs) — must
+    produce byte-identical labels to plain propagation, checked against
+    the same recursive-CTE oracle."""
+    from scalpel_ts_spark.operators.dedup import connected_components
+
+    pairs = minhash_near_duplicates(
+        _neardup_corpus(spark, sf_dir), threshold=0.8
+    )
+    return connected_components(pairs, method="star").select(
         F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
@@ -933,10 +976,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "streaming_budget": q_streaming_budget,
         "media_metadata": q_media_metadata,
         "crawl_rounds": q_crawl_rounds,
@@ -969,8 +1014,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "ann_ivf_kmeans": _ANN_IVF_KMEANS_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_clusters_star": _dedup_clusters_sql(),
         "streaming_budget": _STREAMING_BUDGET_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         # crawl_rounds: intentionally no oracle (stateful round loop);

@@ -321,8 +321,12 @@ def _star_components(
     shape.
     """
     # canonical orientation big -> small; every rewrite below preserves
-    # src > dst, so 'distinct' is a true edge-set dedup
-    e = sym.filter(F.col("src") > F.col("dst")).distinct().localCheckpoint()
+    # src > dst, so 'distinct' is a true edge-set dedup.  This is the
+    # ONLY evaluation of `sym` (which may be an expensive un-cached
+    # pair-generation pipeline): the vertex set is derived from the
+    # checkpointed edges, not from sym again
+    e0 = sym.filter(F.col("src") > F.col("dst")).distinct().localCheckpoint()
+    e = e0
     converged = False
     for _ in range(max_iter):
         s = e.unionByName(
@@ -365,7 +369,11 @@ def _star_components(
             f"star connected components did not reach fixpoint in "
             f"{max_iter} alternations"
         )
-    verts = sym.select(F.col("src").alias("v")).distinct()
+    verts = (
+        e0.select(F.col("src").alias("v"))
+        .unionByName(e0.select(F.col("dst").alias("v")))
+        .distinct()
+    )
     labels = (
         verts.join(
             e.select(F.col("src").alias("v"), F.col("dst").alias("c")),
@@ -463,20 +471,25 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
     if not converged:
         labels.unpersist()
         if method == "auto":
             # diameter exceeded the propagation budget: switch to the
             # O(log^2 n) star algorithm rather than failing — correct
-            # on any graph, just costlier per round
-            return _star_components(sym, persisted_out)
+            # on any graph, just costlier per round.  sym is still
+            # cached here; the star's eager initial checkpoint is its
+            # single read, after which the cache is dropped
+            out = _star_components(sym, persisted_out)
+            sym.unpersist()
+            return out
+        sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             f"iterations (graph diameter exceeds max_iter); raise "
             f"max_iter or use method='auto'/'star' — returning partial "
             f"labels would split clusters"
         )
+    sym.unpersist()
     if persisted_out is not None:
         persisted_out.append(labels)
     return labels.select(F.col("v"), F.col("c").alias("component"))

@@ -102,11 +102,18 @@ def _coalesce_for_write(
     dominate round latency on shared disks.  Only applied when the
     estimate calls for FEWER files than typical task counts (the
     coalesce is a narrow dependency and would otherwise cap scan
-    parallelism on genuinely large tables)."""
-    n_files = max(1, -(-est_rows // rows_per_file))
-    if n_files <= 64:
-        return df.coalesce(n_files)
-    return df
+    parallelism on genuinely large tables).
+
+    Parallelism floor: writing meaningful data must not idle cores —
+    coalescing a half-million-row table to 2 tasks on a 4-core level
+    measurably broke the N->4N scaling pair — so files may go down to
+    quarter-full before the count drops below the core count."""
+    target = max(1, -(-est_rows // rows_per_file))
+    if target > 64:
+        return df  # big table: keep natural partitioning
+    par = df.sparkSession.sparkContext.defaultParallelism
+    floor = min(par, max(1, -(-est_rows // max(1, rows_per_file // 4))))
+    return df.coalesce(max(target, floor))
 
 
 class CrawlEngine:
@@ -201,9 +208,14 @@ class CrawlEngine:
         """Per-host tables (host_state, robots): one row per host, so
         under DRIVER_WRITE_MAX_ROWS they take the storage seam's
         driver-side write (no distributed job, no commit-protocol
-        renames); past it they stay distributed, file count bounded."""
-        if self.n_hosts <= DRIVER_WRITE_MAX_ROWS:
-            self.storage.write_small(df, table, rnd)
+        renames); past it they stay distributed, file count bounded.
+        ``write_small`` is an OPTIONAL storage method (Protocol bodies
+        are not inherited by duck-typed implementations): a custom
+        storage written to the original five-method contract falls
+        back to its plain write."""
+        write_small = getattr(self.storage, "write_small", None)
+        if write_small is not None and self.n_hosts <= DRIVER_WRITE_MAX_ROWS:
+            write_small(df, table, rnd)
         else:
             self.storage.write(
                 _coalesce_for_write(df, self.n_hosts), table, rnd
@@ -374,10 +386,16 @@ class CrawlEngine:
         # as DATA (not just a count) so the frontier update below can
         # bump each row's retry counter and drop rows past
         # max_fetch_retries instead of re-selecting a permanently
-        # failing URL every round (round-2 ADVICE, high)
+        # failing URL every round (round-2 ADVICE, high).  The HTTP
+        # status rides along when the fetch stage provides one: 4xx
+        # rows ARE fetched (leave the frontier, spend a token, logged
+        # with their status) but their bodies are CONTENT-FILTERED out
+        # of the docs corpus and link discovery — a custom 404 page is
+        # neither training data nor a link source
+        has_status = "status" in with_html.columns
         keep_cols = list(candidates.columns) + (
-            ["fetch_error"] if has_err else []
-        )
+            ["status"] if has_status else []
+        ) + (["fetch_error"] if has_err else [])
         fetched_all = (
             with_html.withColumn(
                 "ex", crawl_extract_udf()(F.col("url"), F.col("html"))
@@ -408,6 +426,15 @@ class CrawlEngine:
             if has_err
             else fetched_all
         )
+        # 2xx (or statusless synthetic) rows are corpus+discovery
+        # content; non-2xx rows stay in fetched (seen/log/tokens) only
+        if has_status:
+            content = fetched.filter(
+                F.col("status").isNull()
+                | ((F.col("status") >= 200) & (F.col("status") < 300))
+            )
+        else:
+            content = fetched
         _mark("fetch_extract")
         if n_fetched == 0:
             fetched_all.unpersist()
@@ -428,6 +455,10 @@ class CrawlEngine:
                 "fetched": 0,
                 "stopped": stopped,
                 "fetch_errors": n_errors,
+                # nothing was written and self.round did not advance: a
+                # retried outage round must not collide with the later
+                # committed round of the same number in metrics streams
+                "committed": False,
             }
         self._consec_all_error_rounds = 0
 
@@ -442,7 +473,7 @@ class CrawlEngine:
         # lookup and the discovery filter — without the persist it
         # runs twice
         candidates_raw = (
-            fetched.select(F.explode("ex.links").alias("raw_url"))
+            content.select(F.explode("ex.links").alias("raw_url"))
             .select(canonicalize_url(F.col("raw_url")).alias("url"))
             .withColumn("host_id", host_id_col(F.col("url")))
             .filter(F.col("host_id").isNotNull())
@@ -560,7 +591,7 @@ class CrawlEngine:
             writes.append(
                 (
                     _coalesce_for_write(
-                        fetched.select(
+                        content.select(
                             "url",
                             F.lit(nxt).alias("round"),
                             F.col("ex.title").alias("title"),
@@ -575,19 +606,19 @@ class CrawlEngine:
                     "docs",
                 )
             )
+        log_cols = [
+            F.lit(r).alias("round"),
+            F.col("priority"),
+            F.col("seq"),
+            F.col("url"),
+            F.col("host_id"),
+            F.size("ex.links").alias("n_links"),
+        ]
+        if has_status:  # 4xx/5xx visibility in the log (ADVICE r2)
+            log_cols.append(F.col("status"))
         writes.append(
             (
-                _coalesce_for_write(
-                    fetched.select(
-                        F.lit(r).alias("round"),
-                        "priority",
-                        "seq",
-                        "url",
-                        "host_id",
-                        F.size("ex.links").alias("n_links"),
-                    ),
-                    n_fetched,
-                ),
+                _coalesce_for_write(fetched.select(*log_cols), n_fetched),
                 "fetch_log",
             )
         )
@@ -706,7 +737,8 @@ class CrawlEngine:
             m = self.run_round()
             if m.get("stopped"):
                 break
-            out.append(m)
+            if m.get("committed", True):  # skip retried outage rounds
+                out.append(m)
         return out
 
     # --- readers ------------------------------------------------------------

@@ -19,8 +19,10 @@ mapping is code, not comments:
   catalog is configured (the sandbox has no Iceberg jars), but every
   code path is the real production call sequence.
 
-Both implement the same five methods the engine uses:
-``write / read / read_union / save_manifest / load_manifest``.
+Both implement the same five required methods the engine uses —
+``write / read / read_union / save_manifest / load_manifest`` — plus
+the OPTIONAL ``write_small`` fast path for tiny per-host tables (the
+engine probes for it with getattr and falls back to ``write``).
 """
 
 from __future__ import annotations

@@ -238,9 +238,15 @@ def _http_404(url):
     from scalpel_ts_spark.sources.synthetic import html_for_url
 
     if url == make_url(1, 0):
+        # custom error page WITH a link: the URL must leave the
+        # frontier, but the error body is not content — its link must
+        # never be discovered
+        body = (
+            '<html><body><a href="http://h5.test/p/99999">x</a>'
+            "gone</body></html>"
+        )
         raise HTTPError(
-            url, 404, "Not Found", None,
-            BytesIO(b"<html><body>gone</body></html>"),
+            url, 404, "Not Found", None, BytesIO(body.encode())
         )
     return (200, "text/html; charset=utf-8",
             html_for_url(url, N_HOSTS).encode("utf-8"))
@@ -262,11 +268,23 @@ def test_4xx_is_a_result_not_a_fetch_failure(spark, tmp_path_factory):
     eng.init(SEEDS)
     m = eng.run_round()
     assert m["fetch_errors"] == 0
-    assert make_url(1, 0) in {r.url for r in eng.fetch_log().collect()}
+    log = eng.fetch_log().collect()
+    by_url = {r.url: r for r in log}
+    assert make_url(1, 0) in by_url
+    # the status column makes 4xx visible (and filterable) downstream
+    assert by_url[make_url(1, 0)].status == 404
+    assert all(r.status == 200 for u, r in by_url.items()
+               if u != make_url(1, 0))
     frontier = {
         r.url for r in spark.read.parquet(f"{wd}/frontier/r1").collect()
     }
     assert make_url(1, 0) not in frontier
+    # the 404 body is NOT content: its link was never discovered, and
+    # it contributed nothing to the corpus
+    assert make_url(5, 99999) not in frontier
+    assert by_url[make_url(1, 0)].n_links == 1  # parsed, logged...
+    seen = {r.url for r in eng.seen().collect()}
+    assert make_url(5, 99999) not in seen  # ...but not followed
 
 
 def _all_error_fetch(url):

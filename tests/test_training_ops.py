@@ -377,3 +377,19 @@ def test_star_components_match_plain_on_random_graph(spark):
         for r in connected_components(edges, method="star").collect()
     }
     assert plain == star
+
+
+def test_lsh_candidates_shape_gate_agrees(spark):
+    # volume-gated physical shapes (vectors-ride vs id-only) must
+    # produce identical candidate pairs
+    from scalpel_ts_spark.operators.similarity import lsh_candidates
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    ride = lsh_candidates(df, df, dim=8, carry_vectors=True)
+    idonly = lsh_candidates(df, df, dim=8, carry_vectors=False)
+    key = lambda rows: sorted((r["id_a"], r["id_b"]) for r in rows)  # noqa: E731
+    assert key(ride.collect()) == key(idonly.collect())

@@ -89,7 +89,11 @@ def main() -> None:
             embedding_near_duplicates,
         )
 
-        return embedding_near_duplicates(corpus, dim=dim, threshold=thr)
+        # pin the shape: the production auto-gate would pick
+        # vectors-ride at this volume, which is the OTHER variant
+        return embedding_near_duplicates(
+            corpus, dim=dim, threshold=thr, carry_vectors=False
+        )
 
     def emb_vectors_ride():
         udf = lsh_buckets_udf(planes, n_tables, n_bits)
