@@ -874,6 +874,35 @@ def q_streaming_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts through the Structured
+    Streaming state store (complete-mode foreachBatch refresh, one
+    AvailableNow trigger over the events table) — the streaming twin
+    of the batch events_window query; the oracle is the closed batch
+    GROUP BY.  Watermarked append-mode eviction/late-drop semantics
+    are pinned separately in tests/test_streaming_packaging.py."""
+    from scalpel_ts_spark.streaming.windows import stream_windowed_counts
+
+    events = _tbl(spark, sf_dir, "events").select("ts", "event_type")
+    base = tempfile.mkdtemp(prefix="q_stream_win_")
+    src = os.path.join(base, "events")
+    out = os.path.join(base, "win")
+    ckpt = os.path.join(base, "ckpt")
+    events.write.mode("overwrite").parquet(src)
+    q = stream_windowed_counts(spark, src, out, ckpt, events.schema)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_events_window did not drain in 300s")
+    return spark.read.parquet(out)
+
+
+_STREAMING_EVENTS_WINDOW_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 _STREAMING_BUDGET_SQL = """
 WITH ranked AS (
   SELECT (doc_id % 9)::BIGINT AS host_id,
@@ -983,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "streaming_budget": q_streaming_budget,
+        "streaming_events_window": q_streaming_events_window,
         "media_metadata": q_media_metadata,
         "crawl_rounds": q_crawl_rounds,
     }
@@ -1019,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_clusters_star": _dedup_clusters_sql(),
         "streaming_budget": _STREAMING_BUDGET_SQL,
+        "streaming_events_window": _STREAMING_EVENTS_WINDOW_SQL,
         "media_metadata": _MEDIA_METADATA_SQL,
         # crawl_rounds: intentionally no oracle (stateful round loop);
         # correctness authority is the simulator-equality pytest gate

@@ -133,3 +133,97 @@ def test_stateful_budget_sorts_across_arrow_chunks(spark, tmp_path):
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
+
+
+def test_windowed_counts_complete_mode_equals_batch(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from scalpel_ts_spark.streaming.windows import stream_windowed_counts
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+    ])
+    rows = [
+        (f"2024-01-01 0{h}:{m:02d}:00", et, h * 10 + m)
+        for h in range(3)
+        for m in (5, 25, 45)
+        for et in ("click", "view")
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, user_id long") \
+        .select(F.col("ts").cast("timestamp"), "event_type", "user_id")
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    df.write.mode("overwrite").parquet(src)
+    q = stream_windowed_counts(spark, src, out, ckpt, schema)
+    assert q.awaitTermination(120)
+    got = {
+        (str(r.win_start), r.event_type): r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (str(r.win_start), r.event_type): r.n
+        for r in df.groupBy(
+            F.window("ts", "1 hour")["start"].alias("win_start"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expect and len(got) == 6
+
+
+def test_windowed_counts_watermark_emits_closed_and_drops_late(
+    spark, tmp_path
+):
+    """Pin the append-mode watermark contract: a window is emitted
+    only once the watermark (max prior event time - delay) passes its
+    end — and a row arriving later than the watermark is dropped
+    before aggregation, never resurrecting an emitted window."""
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    from scalpel_ts_spark.streaming.windows import stream_windowed_counts
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+    ])
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def drop(rows):
+        spark.createDataFrame(rows, "ts string, event_type string").select(
+            F.col("ts").cast("timestamp"), "event_type"
+        ).write.mode("append").parquet(src)
+
+    # invocation 1: hours 0..2; watermark after it = 02:10 - 1h = 01:10
+    drop(
+        [("2024-01-01 00:10:00", "x"), ("2024-01-01 01:10:00", "x"),
+         ("2024-01-01 01:20:00", "x"), ("2024-01-01 02:10:00", "x")],
+    )
+    q = stream_windowed_counts(
+        spark, src, out, ckpt, schema, watermark="1 hour"
+    )
+    assert q.awaitTermination(120)
+    # invocation 2: a new on-time row plus a LATE row for hour 0.
+    # The late row (00:20) is older than the restored watermark 01:10
+    # -> dropped before aggregation, so window [00:00, 01:00) emits
+    # with count 1, NOT 2.  AvailableNow runs a final flush batch, so
+    # the watermark also advances to 03:10 - 1h = 02:10 within this
+    # invocation and closes window [01:00, 02:00) (count 2).  Window
+    # [02:00, 03:00) and the new row's window stay in state (end >
+    # watermark) — bounded-state eviction, exactly once.
+    drop([("2024-01-01 03:10:00", "x"), ("2024-01-01 00:20:00", "x")])
+    q2 = stream_windowed_counts(
+        spark, src, out, ckpt, schema, watermark="1 hour"
+    )
+    assert q2.awaitTermination(120)
+    got = {
+        (str(r.win_start), r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 01:00:00", 2),
+    }
