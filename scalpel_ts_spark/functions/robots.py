@@ -26,7 +26,7 @@ Semantics per RFC 9309 (and the de-facto Googlebot extensions):
 from __future__ import annotations
 
 import re
-from typing import Iterable, List, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -46,12 +46,11 @@ def _compile_path_pattern(pattern: str) -> "re.Pattern[str]":
     return re.compile("^" + body + ("$" if anchored else ""))
 
 
-def parse_robots(text: str, user_agent: str = "scalpel-ts-spark") -> List[Rule]:
-    """Parse a robots.txt body into the rule list applying to
-    ``user_agent`` (longest agent-token match; ``*`` fallback;
-    same-agent groups merged)."""
-    agent_lc = user_agent.lower()
-    groups: dict[str, list] = {}
+def _parse_groups(text: str) -> dict:
+    """robots.txt -> {agent_token: {"rules": [Rule], "delay": float?}}
+    (same-agent groups merged; shared by rule and crawl-delay
+    extraction)."""
+    groups: dict[str, dict] = {}
     current_agents: list[str] = []
     rules_open = False  # False while collecting consecutive UA lines
     for raw in text.splitlines():
@@ -67,7 +66,23 @@ def parse_robots(text: str, user_agent: str = "scalpel-ts-spark") -> List[Rule]:
                 rules_open = False
             current_agents.append(value.lower())
             for a in current_agents:
-                groups.setdefault(a, [])
+                groups.setdefault(a, {"rules": [], "delay": None})
+        elif field == "crawl-delay":
+            # de-facto extension (not RFC 9309): seconds between
+            # requests, bound to the agents collected so far.  Like
+            # sitemap/unknown fields it does NOT close the user-agent
+            # collection run (pinned: a UA line after it still joins
+            # the same group for subsequent rules).  Invalid or
+            # negative values are ignored.
+            if not current_agents:
+                continue
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if delay >= 0:
+                for a in current_agents:
+                    groups[a]["delay"] = delay
         elif field in ("allow", "disallow"):
             rules_open = True
             if not current_agents:
@@ -76,30 +91,52 @@ def parse_robots(text: str, user_agent: str = "scalpel-ts-spark") -> List[Rule]:
                 continue  # empty Disallow permits everything
             rule = (field == "allow", len(value), _compile_path_pattern(value))
             for a in current_agents:
-                groups.setdefault(a, []).append(rule)
+                groups[a]["rules"].append(rule)
         else:
-            # sitemap / crawl-delay / unknown fields end nothing: they
-            # neither open a group's rule section nor close the
-            # user-agent collection run (Google parser behavior)
+            # sitemap / unknown fields end nothing: they neither open a
+            # group's rule section nor close the user-agent collection
+            # run (Google parser behavior)
             pass
+    return groups
 
-    # group selection: the group token must be a case-insensitive
-    # PREFIX of our product token (the part before '/'), longest prefix
-    # wins — the de-facto standard (Google's parser: "user-agent: goo"
-    # matches Googlebot); bare substring matching would let an
-    # unrelated group like "park" capture "scalpel-ts-spark"
-    product = agent_lc.split("/", 1)[0].strip()
-    best = None  # (match_len, rules)
-    for agent_token, rules in groups.items():
+
+def _select_group(groups: dict, user_agent: str) -> Optional[dict]:
+    """Group selection: the group token must be a case-insensitive
+    PREFIX of our product token (the part before '/'), longest prefix
+    wins — the de-facto standard (Google's parser: "user-agent: goo"
+    matches Googlebot); bare substring matching would let an unrelated
+    group like "park" capture "scalpel-ts-spark".  ``*`` is the
+    fallback group."""
+    product = user_agent.lower().split("/", 1)[0].strip()
+    best = None  # (match_len, group)
+    for agent_token, group in groups.items():
         if agent_token == "*":
             continue
         if product.startswith(agent_token) and (
             best is None or len(agent_token) > best[0]
         ):
-            best = (len(agent_token), rules)
+            best = (len(agent_token), group)
     if best is not None:
         return best[1]
-    return groups.get("*", [])
+    return groups.get("*")
+
+
+def parse_robots(text: str, user_agent: str = "scalpel-ts-spark") -> List[Rule]:
+    """Parse a robots.txt body into the rule list applying to
+    ``user_agent`` (longest agent-token match; ``*`` fallback;
+    same-agent groups merged)."""
+    group = _select_group(_parse_groups(text), user_agent)
+    return group["rules"] if group is not None else []
+
+
+def crawl_delay(
+    text: str, user_agent: str = "scalpel-ts-spark"
+) -> Optional[float]:
+    """The Crawl-delay (seconds) of the group applying to
+    ``user_agent``, or None when the host declares none.  Feeds the
+    politeness token bucket: refill_rate = 1/delay requests/sec."""
+    group = _select_group(_parse_groups(text), user_agent)
+    return group["delay"] if group is not None else None
 
 
 def is_allowed(rules: Iterable[Rule], path: str) -> bool:
@@ -113,6 +150,42 @@ def is_allowed(rules: Iterable[Rule], path: str) -> bool:
             best_len = plen
             best_allow = allow
     return best_allow
+
+
+def host_crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host_id",
+    robots_txt_col: str = "robots_txt",
+    user_agent: str = "scalpel-ts-spark",
+) -> DataFrame:
+    """(host_id, crawl_delay double) for every host declaring one.
+
+    One vectorized pass over the per-host robots cache (one short row
+    per host — tiny next to the frontier).  The scheduler joins this
+    onto host_state to derive per-host token refill rates
+    (refill = round_seconds / crawl_delay, capped by the global
+    politeness budget); streaming/politeness.host_budget_fn consumes
+    the same signal via a per-host ``refill`` column.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _delay(bodies: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if b is None else crawl_delay(b, user_agent)
+                for b in bodies
+            ],
+            dtype="float64",
+        )
+
+    return (
+        robots.select(
+            F.col(host_col),
+            _delay(F.col(robots_txt_col)).alias("crawl_delay"),
+        )
+        .filter(F.col("crawl_delay").isNotNull())
+    )
 
 
 def robots_filter_stage(

@@ -56,16 +56,24 @@ def host_budget_fn(cap: int, refill: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (host_id,) = key
-        if state.exists:
-            (tokens,) = state.get
-            tokens = min(cap, int(tokens) + refill)  # per-trigger refill
-        else:
-            tokens = cap
         # one sort over the WHOLE group: the group arrives as an
         # iterator of Arrow-sized chunks, and sorting each chunk
         # independently would make decisions chunk-boundary-dependent
         # (a later chunk's smaller seq must still beat a larger one)
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # per-host politeness override: a 'refill' column (e.g. joined
+        # from functions.robots.host_crawl_delays) replaces the global
+        # per-trigger refill for this host — constant within the group
+        group_refill = refill
+        if "refill" in pdf.columns:
+            declared = pdf["refill"].dropna()
+            if len(declared):
+                group_refill = max(0, int(declared.iloc[0]))
+        if state.exists:
+            (tokens,) = state.get
+            tokens = min(cap, int(tokens) + group_refill)
+        else:
+            tokens = cap
         order = ["priority", "seq"] if "priority" in pdf.columns else ["seq"]
         pdf = pdf.sort_values(order)
         # vectorized token bucket: each fetch decrements by exactly 1
@@ -103,7 +111,10 @@ def stream_host_budget(
     """Continuously budget a stream of candidate URLs per host.
 
     Input: append-only parquet/Iceberg dir with at least
-    (host_id long, url string, seq long).  Output: every candidate
+    (host_id long, url string, seq long); an optional ``refill`` int
+    column (pass a custom ``schema``) overrides the global per-trigger
+    refill per host — the robots Crawl-delay integration point
+    (functions.robots.host_crawl_delays).  Output: every candidate
     annotated with the fetch/defer decision and the post-decision
     balance.  ``Trigger.AvailableNow`` + the checkpoint make each
     invocation drain exactly the new files, with host balances carried

@@ -136,3 +136,50 @@ def test_null_path_candidates_are_dropped_not_crashing(spark):
         for r in robots_filter_stage(cand, robots).collect()
     }
     assert kept == {(0, "/fine")}
+
+
+def test_crawl_delay_group_selection():
+    from scalpel_ts_spark.functions.robots import crawl_delay
+
+    body = """
+User-agent: *
+Crawl-delay: 2
+Disallow: /tmp
+
+User-agent: scalpel
+Crawl-delay: 0.5
+Allow: /
+"""
+    # longest matching group's delay wins; * is the fallback
+    assert crawl_delay(body, "scalpel-ts-spark/0.2") == 0.5
+    assert crawl_delay(body, "otherbot") == 2.0
+    assert crawl_delay("User-agent: *\nDisallow:", "x") is None
+    # invalid / negative values are ignored
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -3", "x") is None
+    # crawl-delay binds to the agents collected SO FAR but (like
+    # sitemap) does not close the UA run: b joins a's group for the
+    # Disallow, yet only a carries the delay
+    two = "User-agent: a\nCrawl-delay: 7\nUser-agent: b\nDisallow: /x"
+    assert crawl_delay(two, "a") == 7.0
+    assert crawl_delay(two, "b") is None
+    from scalpel_ts_spark.functions.robots import is_allowed, parse_robots
+
+    assert not is_allowed(parse_robots(two, "a"), "/x/1")
+    assert not is_allowed(parse_robots(two, "b"), "/x/1")
+
+
+def test_host_crawl_delays_frame(spark):
+    from scalpel_ts_spark.functions.robots import host_crawl_delays
+
+    rows = [
+        (1, "User-agent: *\nCrawl-delay: 3\nDisallow: /p"),
+        (2, "User-agent: *\nDisallow: /p"),  # no delay declared
+        (3, None),  # unreachable robots
+        (4, "User-agent: scalpel\nCrawl-delay: 1.5"),
+    ]
+    robots = spark.createDataFrame(rows, "host_id long, robots_txt string")
+    got = {
+        r.host_id: r.crawl_delay for r in host_crawl_delays(robots).collect()
+    }
+    assert got == {1: 3.0, 4: 1.5}

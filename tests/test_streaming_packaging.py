@@ -227,3 +227,53 @@ def test_windowed_counts_watermark_emits_closed_and_drops_late(
         ("2024-01-01 00:00:00", 1),
         ("2024-01-01 01:00:00", 2),
     }
+
+
+def test_per_host_refill_column_overrides_global(spark, tmp_path):
+    """Crawl-delay integration: a 'refill' column (joined from
+    functions.robots.host_crawl_delays by the scheduler) replaces the
+    global per-trigger refill for that host only."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from scalpel_ts_spark.streaming.politeness import stream_host_budget
+
+    schema = StructType([
+        StructField("host_id", LongType()),
+        StructField("url", StringType()),
+        StructField("seq", LongType()),
+        StructField("refill", IntegerType()),
+    ])
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def drop(batch, rows):
+        spark.createDataFrame(
+            [(h, f"http://h{h}.test/p/{s}", s, rf) for h, s, rf in rows],
+            schema,
+        ).write.mode("append").parquet(src)
+
+    # host 1 declares a slow crawl-delay (refill 1); host 2 uses the
+    # global default (refill NULL). Both exhaust cap=4 in trigger 1.
+    batch1 = [(1, s, 1) for s in range(6)] + [(2, s, None) for s in range(6)]
+    drop(1, batch1)
+    q = stream_host_budget(
+        spark, src, out, ckpt, cap=4, refill=2, schema=schema
+    )
+    assert q.awaitTermination(120)
+    batch2 = [(1, 100 + s, 1) for s in range(3)] + [
+        (2, 100 + s, None) for s in range(3)
+    ]
+    drop(2, batch2)
+    q2 = stream_host_budget(
+        spark, src, out, ckpt, cap=4, refill=2, schema=schema
+    )
+    assert q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    fetched2 = {
+        h: sum(1 for r in rows if r.host_id == h and r.seq >= 100
+               and r.decision == "fetch")
+        for h in (1, 2)
+    }
+    # trigger 2 balances: host 1 = min(4, 0+1) = 1, host 2 = min(4, 0+2) = 2
+    assert fetched2 == {1: 1, 2: 2}
