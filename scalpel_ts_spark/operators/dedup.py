@@ -320,13 +320,20 @@ def _star_components(
     a reliable checkpoint dir / the Iceberg scratch table instead, same
     shape.
     """
-    # canonical orientation big -> small; every rewrite below preserves
-    # src > dst, so 'distinct' is a true edge-set dedup.  This is the
-    # ONLY evaluation of `sym` (which may be an expensive un-cached
-    # pair-generation pipeline): the vertex set is derived from the
-    # checkpointed edges, not from sym again
-    e0 = sym.filter(F.col("src") > F.col("dst")).distinct().localCheckpoint()
-    e = e0
+    # one checkpoint of the symmetric edge list is the ONLY evaluation
+    # of `sym` (which may be an expensive un-cached pair-generation
+    # pipeline); both the vertex set (which must keep vertices whose
+    # only edge is a self-loop) and the canonically-oriented working
+    # edges derive from it
+    base = sym.localCheckpoint()
+    # canonical orientation big -> small (drops self-loops); every
+    # rewrite below preserves src > dst, so 'distinct' is a true
+    # edge-set dedup
+    e = (
+        base.filter(F.col("src") > F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     converged = False
     for _ in range(max_iter):
         s = e.unionByName(
@@ -369,11 +376,7 @@ def _star_components(
             f"star connected components did not reach fixpoint in "
             f"{max_iter} alternations"
         )
-    verts = (
-        e0.select(F.col("src").alias("v"))
-        .unionByName(e0.select(F.col("dst").alias("v")))
-        .distinct()
-    )
+    verts = base.select(F.col("src").alias("v")).distinct()
     labels = (
         verts.join(
             e.select(F.col("src").alias("v"), F.col("dst").alias("c")),

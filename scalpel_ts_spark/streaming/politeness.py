@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -43,7 +44,15 @@ BUDGET_OUT_SCHEMA = StructType(
     ]
 )
 
-BUDGET_STATE_SCHEMA = StructType([StructField("tokens", IntegerType())])
+BUDGET_STATE_SCHEMA = StructType(
+    [
+        StructField("tokens", IntegerType()),
+        # fractional refill carry-over: a host whose per-trigger refill
+        # is below 1 (Crawl-delay longer than the trigger period)
+        # accumulates credit instead of starving on int truncation
+        StructField("credit", DoubleType()),
+    ]
+)
 
 
 def host_budget_fn(cap: int, refill: int):
@@ -61,19 +70,28 @@ def host_budget_fn(cap: int, refill: int):
         # independently would make decisions chunk-boundary-dependent
         # (a later chunk's smaller seq must still beat a larger one)
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        # per-host politeness override: a 'refill' column (e.g. joined
-        # from functions.robots.host_crawl_delays) replaces the global
-        # per-trigger refill for this host — constant within the group
-        group_refill = refill
+        # per-host politeness override: a 'refill' column (e.g.
+        # round_seconds / crawl_delay joined from
+        # functions.robots.host_crawl_delays) replaces the global
+        # per-trigger refill for this host.  The MINIMUM declared value
+        # wins when backlog rows disagree (a robots change mid-backlog)
+        # — deterministic and politeness-conservative, never
+        # arrival-order dependent.  Fractional refills (Crawl-delay
+        # longer than the trigger period) accumulate as credit in the
+        # state store rather than truncating to a starved 0.
+        group_refill = float(refill)
         if "refill" in pdf.columns:
             declared = pdf["refill"].dropna()
             if len(declared):
-                group_refill = max(0, int(declared.iloc[0]))
+                group_refill = max(0.0, float(declared.min()))
         if state.exists:
-            (tokens,) = state.get
-            tokens = min(cap, int(tokens) + group_refill)
+            tokens, credit = state.get
+            total = float(credit) + group_refill
+            gain = int(total)
+            credit = total - gain
+            tokens = min(cap, int(tokens) + gain)
         else:
-            tokens = cap
+            tokens, credit = cap, 0.0
         order = ["priority", "seq"] if "priority" in pdf.columns else ["seq"]
         pdf = pdf.sort_values(order)
         # vectorized token bucket: each fetch decrements by exactly 1
@@ -85,7 +103,7 @@ def host_budget_fn(cap: int, refill: int):
         i = np.arange(1, n + 1, dtype=np.int64)
         decisions = np.where(i <= tokens, "fetch", "defer")
         after = np.maximum(tokens - i, 0).astype(np.int32)
-        state.update((int(after[-1]) if n else tokens,))
+        state.update((int(after[-1]) if n else tokens, float(credit)))
         yield pd.DataFrame(
             {
                 "host_id": np.full(n, host_id, dtype=np.int64),

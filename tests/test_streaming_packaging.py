@@ -234,7 +234,7 @@ def test_per_host_refill_column_overrides_global(spark, tmp_path):
     functions.robots.host_crawl_delays by the scheduler) replaces the
     global per-trigger refill for that host only."""
     from pyspark.sql.types import (
-        IntegerType, LongType, StringType, StructField, StructType,
+        DoubleType, LongType, StringType, StructField, StructType,
     )
 
     from scalpel_ts_spark.streaming.politeness import stream_host_budget
@@ -243,7 +243,7 @@ def test_per_host_refill_column_overrides_global(spark, tmp_path):
         StructField("host_id", LongType()),
         StructField("url", StringType()),
         StructField("seq", LongType()),
-        StructField("refill", IntegerType()),
+        StructField("refill", DoubleType()),
     ])
     src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
 
@@ -254,26 +254,52 @@ def test_per_host_refill_column_overrides_global(spark, tmp_path):
         ).write.mode("append").parquet(src)
 
     # host 1 declares a slow crawl-delay (refill 1); host 2 uses the
-    # global default (refill NULL). Both exhaust cap=4 in trigger 1.
-    batch1 = [(1, s, 1) for s in range(6)] + [(2, s, None) for s in range(6)]
+    # global default (refill NULL); host 3 declares a FRACTIONAL
+    # refill (Crawl-delay longer than the trigger period) that must
+    # accumulate as credit, not truncate to starvation. All exhaust
+    # cap=4 in trigger 1.
+    batch1 = (
+        [(1, s, 1.0) for s in range(6)]
+        + [(2, s, None) for s in range(6)]
+        + [(3, s, 0.5) for s in range(6)]
+    )
     drop(1, batch1)
     q = stream_host_budget(
         spark, src, out, ckpt, cap=4, refill=2, schema=schema
     )
     assert q.awaitTermination(120)
-    batch2 = [(1, 100 + s, 1) for s in range(3)] + [
-        (2, 100 + s, None) for s in range(3)
-    ]
+    batch2 = (
+        [(1, 100 + s, 1.0) for s in range(3)]
+        + [(2, 100 + s, None) for s in range(3)]
+        + [(3, 100 + s, 0.5) for s in range(3)]
+    )
     drop(2, batch2)
     q2 = stream_host_budget(
         spark, src, out, ckpt, cap=4, refill=2, schema=schema
     )
     assert q2.awaitTermination(120)
-    rows = spark.read.parquet(out).collect()
-    fetched2 = {
-        h: sum(1 for r in rows if r.host_id == h and r.seq >= 100
-               and r.decision == "fetch")
-        for h in (1, 2)
-    }
-    # trigger 2 balances: host 1 = min(4, 0+1) = 1, host 2 = min(4, 0+2) = 2
-    assert fetched2 == {1: 1, 2: 2}
+
+    def fetched_ge(lo):
+        rows = spark.read.parquet(out).collect()
+        return {
+            h: sum(1 for r in rows if r.host_id == h and r.seq >= lo
+                   and r.decision == "fetch")
+            for h in (1, 2, 3)
+        }
+
+    # trigger 2 balances: host 1 = int(0+1.0) = 1, host 2 = default 2,
+    # host 3 = int(0+0.5) = 0 with 0.5 credit carried in state
+    assert fetched_ge(100) == {1: 1, 2: 2, 3: 0}
+    batch3 = (
+        [(1, 200 + s, 1.0) for s in range(3)]
+        + [(2, 200 + s, None) for s in range(3)]
+        + [(3, 200 + s, 0.5) for s in range(3)]
+    )
+    drop(3, batch3)
+    q3 = stream_host_budget(
+        spark, src, out, ckpt, cap=4, refill=2, schema=schema
+    )
+    assert q3.awaitTermination(120)
+    # trigger 3: host 3's credit reaches 0.5 + 0.5 = 1.0 -> one fetch
+    # (a 2-trigger crawl-delay crawls at half rate, never starves)
+    assert fetched_ge(200) == {1: 1, 2: 2, 3: 1}

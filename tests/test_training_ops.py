@@ -393,3 +393,20 @@ def test_lsh_candidates_shape_gate_agrees(spark):
     idonly = lsh_candidates(df, df, dim=8, carry_vectors=False)
     key = lambda rows: sorted((r["id_a"], r["id_b"]) for r in rows)  # noqa: E731
     assert key(ride.collect()) == key(idonly.collect())
+
+
+def test_star_components_keep_self_loop_vertices(spark):
+    # regression (round-3 review): a vertex whose only edge is a
+    # self-loop must appear in star output exactly as in plain
+    from scalpel_ts_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (5, 5)], ["id_a", "id_b"])
+    plain = {
+        (r["v"], r["component"])
+        for r in connected_components(edges, method="plain").collect()
+    }
+    star = {
+        (r["v"], r["component"])
+        for r in connected_components(edges, method="star").collect()
+    }
+    assert plain == star == {(1, 1), (2, 1), (5, 5)}
