@@ -107,8 +107,11 @@ def main() -> None:
 
     run("dedup_minhash", lambda: E.q_dedup_minhash(spark, SF_DIR).count())
     run("dedup_exact", lambda: E.q_dedup_exact(spark, SF_DIR).count())
+    run("dedup_simhash", lambda: E.q_dedup_simhash(spark, SF_DIR).count())
     run("text_stats", lambda: E.q_text_stats(spark, SF_DIR).count())
     run("ann_bruteforce", lambda: E.q_ann_bruteforce(spark, SF_DIR).count())
+    run("ann_lsh", lambda: E.q_ann_lsh(spark, SF_DIR).count())
+    run("ann_ivf", lambda: E.q_ann_ivf(spark, SF_DIR).count())
     run("embedding_neardup",
         lambda: E.q_embedding_neardup(spark, SF_DIR).count())
     run("topk_lineitem", lambda: E.q_topk_lineitem(spark, SF_DIR).count())
