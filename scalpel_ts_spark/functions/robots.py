@@ -152,6 +152,80 @@ def is_allowed(rules: Iterable[Rule], path: str) -> bool:
     return best_allow
 
 
+#: RFC 9309 §2.3.1.3-4: a robots.txt unreachable due to SERVER error
+#: (5xx / transport) means complete disallow; writing this body into
+#: the cache makes the parser yield that naturally, with no separate
+#: status column to lose on the way through the table
+DISALLOW_ALL = "User-agent: *\nDisallow: /"
+
+
+def http_robots_stage(fetch_fn, user_agent: str = "scalpel-ts-spark"):
+    """Factory for CrawlEngine's ``robots_stage`` seam: fetch each new
+    host's real robots.txt.
+
+    Input: one row per new host ``(host_id long, url string)`` where
+    url is any exemplar URL of the host (the engine passes
+    ``min(url)``); output ``(host_id, robots_txt)``.  Error classes
+    per RFC 9309 §2.3.1:
+
+    * 2xx — body decoded with the reference charset rule;
+    * 4xx (``HTTPError`` or returned status) — "unavailable": NULL
+      body, i.e. no restrictions;
+    * 5xx / transport failure — "unreachable": the DISALLOW_ALL
+      sentinel body, i.e. complete disallow.
+
+    mapInPandas (one short row per host) — robots fetching scales with
+    hosts, never with URLs.
+    """
+    from typing import Iterator
+    from urllib.error import HTTPError
+    from urllib.parse import urlsplit
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from scalpel_ts_spark.sources.fetch import decode_response
+
+    out_schema = StructType(
+        [
+            StructField("host_id", LongType()),
+            StructField("robots_txt", StringType()),
+        ]
+    )
+
+    def stage(df: DataFrame) -> DataFrame:
+        def _fetch(batches: "Iterator[pd.DataFrame]"):
+            for pdf in batches:
+                texts = []
+                for url in pdf["url"]:
+                    sp = urlsplit(url)
+                    robots_url = f"{sp.scheme}://{sp.netloc}/robots.txt"
+                    try:
+                        try:
+                            status, ctype, body = fetch_fn(robots_url)
+                        except HTTPError as he:
+                            if he.code >= 500:
+                                raise
+                            status, ctype, body = he.code, None, b""
+                        if 200 <= status < 300:
+                            texts.append(decode_response(body, ctype))
+                        elif status < 500:
+                            texts.append(None)  # 4xx: no restrictions
+                        else:
+                            texts.append(DISALLOW_ALL)
+                    except Exception:
+                        texts.append(DISALLOW_ALL)  # unreachable
+                yield pdf[["host_id"]].assign(robots_txt=texts)
+
+        return df.mapInPandas(_fetch, out_schema)
+
+    return stage
+
+
 def host_crawl_delays(
     robots: DataFrame,
     host_col: str = "host_id",

@@ -131,6 +131,7 @@ class CrawlEngine:
         compact_every: int = 8,
         storage: SnapshotStorage | None = None,
         fetch_stage=None,
+        robots_stage=None,
         max_fetch_retries: int = 3,
         broadcast_fetched_max: int = DEFAULT_BROADCAST_FETCHED_MAX,
     ):
@@ -151,6 +152,17 @@ class CrawlEngine:
         reported as the ``fetch_errors`` metric).  The default reads
         the deterministic synthetic web, which is what the
         simulator-equality gates require.
+
+        ``robots_stage``: optional ``(host_id, url) -> (host_id,
+        robots_txt)`` callable replacing the synthetic rule table with
+        REAL robots.txt bodies — the production pairing for an HTTP
+        ``fetch_stage`` (``functions.robots.http_robots_stage``).
+        When set, the per-host cache stores raw bodies, new hosts are
+        fetched once from an exemplar URL, and discovered links are
+        vetted by the cogrouped RFC 9309 filter
+        (``robots_filter_stage``) instead of the synthetic modulus
+        rule.  Default None keeps the deterministic synthetic table
+        the simulator-equality gates require.
 
         ``max_fetch_retries``: a row that keeps erroring is retried at
         most this many times (its ``fails`` count rides the frontier),
@@ -175,6 +187,7 @@ class CrawlEngine:
         self.compact_every = compact_every
         self.storage = storage or ParquetSnapshotStorage(spark, workdir)
         self.fetch_stage = fetch_stage
+        self.robots_stage = robots_stage
         self.max_fetch_retries = max_fetch_retries
         self.broadcast_fetched_max = broadcast_fetched_max
         self.round = 0
@@ -272,12 +285,13 @@ class CrawlEngine:
             "host_state",
             0,
         )
+        robots_schema = (
+            "host_id long, robots_txt string"
+            if self.robots_stage is not None
+            else "host_id long, disallow_mod int, disallow_rem int"
+        )
         self._write_per_host(
-            self.spark.createDataFrame(
-                [], "host_id long, disallow_mod int, disallow_rem int"
-            ),
-            "robots",
-            0,
+            self.spark.createDataFrame([], robots_schema), "robots", 0
         )
         if self.use_bloom:
             self._write(
@@ -296,12 +310,25 @@ class CrawlEngine:
         spark: SparkSession,
         workdir: str,
         storage: SnapshotStorage | None = None,
+        fetch_stage=None,
+        robots_stage=None,
     ) -> "CrawlEngine":
-        """Reopen an engine from its latest committed snapshot."""
+        """Reopen an engine from its latest committed snapshot.
+
+        Stages are callables and cannot live in the manifest: a
+        production resume re-supplies the same ``fetch_stage`` /
+        ``robots_stage`` it crawled with."""
         storage = storage or ParquetSnapshotStorage(spark, workdir)
         manifest = storage.load_manifest()
         cfg = manifest["config"]
-        eng = cls(spark, workdir, storage=storage, **{k: cfg[k] for k in cfg})
+        eng = cls(
+            spark,
+            workdir,
+            storage=storage,
+            fetch_stage=fetch_stage,
+            robots_stage=robots_stage,
+            **{k: cfg[k] for k in cfg},
+        )
         eng.manifest = manifest
         eng.round = len(manifest["rounds"])
         return eng
@@ -480,16 +507,28 @@ class CrawlEngine:
             .persist()
         )
         robots_prev = self._read("robots", r)
-        new_hosts = (
-            candidates_raw.select("host_id")
-            .distinct()
-            .join(robots_prev.select("host_id"), "host_id", "left_anti")
-        )
         # the cache-miss count rides the robots snapshot write as an
         # Observation (like n_new below) instead of paying a dedicated
         # count job per round; new_rules stays persisted because two
-        # consumers pull it (the discovery broadcast join + the write)
-        new_rules = fetch_robots_rules(new_hosts).persist()
+        # consumers pull it (the discovery filter + the write)
+        if self.robots_stage is not None:
+            # production path: fetch the REAL robots.txt once per new
+            # host (exemplar url carries scheme+authority), vet links
+            # with the cogrouped RFC 9309 filter — rule state stays
+            # partitioned by host, never broadcast
+            new_sites = (
+                candidates_raw.groupBy("host_id")
+                .agg(F.min("url").alias("url"))
+                .join(robots_prev.select("host_id"), "host_id", "left_anti")
+            )
+            new_rules = self.robots_stage(new_sites).persist()
+        else:
+            new_hosts = (
+                candidates_raw.select("host_id")
+                .distinct()
+                .join(robots_prev.select("host_id"), "host_id", "left_anti")
+            )
+            new_rules = fetch_robots_rules(new_hosts).persist()
         robots_obs = Observation()
         robots = robots_prev.unionByName(
             new_rules.observe(
@@ -497,14 +536,34 @@ class CrawlEngine:
             )
         )
         _mark("robots")
-        discovered = (
-            candidates_raw.join(F.broadcast(robots), "host_id")
-            .filter(
-                page_id_col(F.col("url")) % F.col("disallow_mod")
-                != F.col("disallow_rem")
+        if self.robots_stage is not None:
+            from scalpel_ts_spark.functions.robots import robots_filter_stage
+
+            # path-with-query for rule matching; bare authority => "/"
+            with_path = candidates_raw.withColumn(
+                "path",
+                F.coalesce(
+                    F.nullif(
+                        F.regexp_replace(
+                            F.col("url"), r"^[a-z][a-z0-9+.-]*://[^/]*", ""
+                        ),
+                        F.lit(""),
+                    ),
+                    F.lit("/"),
+                ),
             )
-            .drop("disallow_mod", "disallow_rem")
-            .dropDuplicates(["url"])
+            allowed = robots_filter_stage(with_path, robots).drop("path")
+        else:
+            allowed = (
+                candidates_raw.join(F.broadcast(robots), "host_id")
+                .filter(
+                    page_id_col(F.col("url")) % F.col("disallow_mod")
+                    != F.col("disallow_rem")
+                )
+                .drop("disallow_mod", "disallow_rem")
+            )
+        discovered = (
+            allowed.dropDuplicates(["url"])
             .select(
                 "url",
                 "host_id",

@@ -337,3 +337,99 @@ def test_fetched_antijoin_broadcast_is_conditional(spark):
     assert sorted(r.url_hash for r in under.collect()) == sorted(
         r.url_hash for r in over.collect()
     )
+
+
+def _robots_web_fetch(url):
+    """Synthetic web + REAL robots.txt bodies: hosts 0,1,4+ declare a
+    textual prefix rule, host 2's robots 404s (allow all), host 3's
+    robots server is down (disallow all)."""
+    from io import BytesIO
+    from urllib.error import HTTPError
+
+    from scalpel_ts_spark.sources.synthetic import html_for_url
+
+    if url.endswith("/robots.txt"):
+        host = int(url.split("//h")[1].split(".")[0])
+        if host == 2:
+            raise HTTPError(url, 404, "nf", None, BytesIO(b""))
+        if host == 3:
+            raise OSError("robots server down")
+        return (200, "text/plain", b"User-agent: *\nDisallow: /p/1")
+    return (200, "text/html; charset=utf-8",
+            html_for_url(url, N_HOSTS).encode("utf-8"))
+
+
+def test_http_robots_stage_end_to_end(spark, tmp_path_factory):
+    """Production robots path through the engine: real robots bodies
+    cached per host, RFC 9309 cogrouped filtering of discovered links,
+    4xx=allow-all / 5xx=disallow-all classes, resume with stages."""
+    from functools import partial
+
+    from scalpel_ts_spark.functions.robots import http_robots_stage
+    from scalpel_ts_spark.sources.fetch import http_fetch_stage
+    from scalpel_ts_spark.sources.synthetic import (
+        make_url,
+        out_link_ids,
+        parse_url_ids,
+    )
+
+    wd = str(tmp_path_factory.mktemp("crawl_http_robots"))
+    stages = dict(
+        fetch_stage=partial(http_fetch_stage, fetch_fn=_robots_web_fetch),
+        robots_stage=http_robots_stage(_robots_web_fetch),
+    )
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
+        **stages,
+    )
+    # host 3 (robots server down) is seeded directly: seeds bypass the
+    # discovery filter, but every link DISCOVERED onto host 3 (70% of
+    # a page's links are host-local) must be dropped as disallow-all
+    seeds = SEEDS + [make_url(3, 1)]
+    eng.init(seeds)
+    eng.run(2)
+    # resume re-supplies the stages (callables cannot live in the
+    # manifest) and continues on the robots_txt-schema cache
+    eng2 = CrawlEngine.resume(spark, wd, **stages)
+    eng2.run(1)
+
+    log_urls = {r.url for r in eng2.fetch_log().collect()}
+    seen = {r.url for r in eng2.seen().collect()}
+    # recompute every out-link of every fetched page: which targets
+    # SHOULD the robots rules have blocked?
+    targets = set()
+    for u in log_urls:
+        h, p = parse_url_ids(u)
+        targets |= {
+            make_url(th, tp) for th, tp in out_link_ids(h, p, N_HOSTS)
+        }
+    rule_blocked = {
+        u for u in targets
+        if parse_url_ids(u)[0] not in (2, 3)
+        and str(parse_url_ids(u)[1]).startswith("1")
+    }
+    host3 = {u for u in targets if parse_url_ids(u)[0] == 3}
+    assert rule_blocked and host3  # the scenario exercised both classes
+    # Disallow: /p/1 prefix enforced on rule hosts; 5xx host fully
+    # disallowed — blocked targets never entered the seen set
+    assert not (rule_blocked & seen)
+    assert not (host3 & seen)
+    # 404-robots host is fully allowed: /p/1* pages DO get discovered
+    host2_blockedish = {
+        u for u in (targets & seen)
+        if parse_url_ids(u)[0] == 2
+        and str(parse_url_ids(u)[1]).startswith("1")
+    }
+    assert host2_blockedish
+    # nothing fetched violates the rules either (log is a subset of seen)
+    assert not {
+        u for u in log_urls if u not in set(seeds)
+    } & (rule_blocked | host3)
+    # on host 3 exactly the seed was ever fetched
+    assert {u for u in log_urls if parse_url_ids(u)[0] == 3} == {
+        make_url(3, 1)
+    }
+    # robots cache: one row per encountered host, bodies persisted
+    rules = spark.read.parquet(f"{wd}/robots/r{eng2.round}")
+    assert rules.columns == ["host_id", "robots_txt"]
+    assert rules.count() == rules.select("host_id").distinct().count()
