@@ -363,9 +363,21 @@ def _star_components(
             .distinct()
             .localCheckpoint()
         )
+        # fixpoint check as ONE symmetric-difference job (two subtract
+        # jobs halved, round-3 verdict finding #4): both sides are
+        # distinct edge sets, so any row missing a marker after the
+        # full-outer join proves inequality — and limit(1) lets the
+        # scan stop at the first difference
         changed = (
-            sm.subtract(e).limit(1).count()
-            + e.subtract(sm).limit(1).count()
+            e.withColumn("_l", F.lit(1))
+            .join(
+                sm.withColumn("_r", F.lit(1)),
+                ["src", "dst"],
+                "full_outer",
+            )
+            .filter(F.col("_l").isNull() | F.col("_r").isNull())
+            .limit(1)
+            .count()
         )
         e = sm
         if changed == 0:

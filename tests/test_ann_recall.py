@@ -1,0 +1,98 @@
+"""ANN approximation-quality gates (VERDICT r3 'what's missing' #1).
+
+The plumbing oracles (scaled copy retrieves original) prove wiring,
+not recall — a bad ``n_tables``/``n_bits``/``nprobe`` change would
+pass every structural test.  These tests pin measured recall floors
+against :func:`brute_force_topk` on the driver-generated sandbox
+embeddings so a parameter or code regression trips CI:
+
+* planted near-neighbor recall@1 — the near-dup retrieval case
+  (cos ~ 0.95 query-to-origin): both indexes must be ~perfect;
+* raw-corpus recall@10 on isotropic gaussian vectors — the WORST case
+  for LSH (weak neighbor structure: true top-10 sit near 65-70°), so
+  the absolute is low by nature; the floors are regression tripwires
+  at about half the measured value, not quality targets.  Measured at
+  default parameters (sf0.01, dim 64): lsh 0.21, lsh+multiprobe 0.82,
+  ivf(nprobe=4/16) 0.51 — full table in BASELINE.md.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_ts_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _recall(exact, approx) -> float:
+    n = exact.count()
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    return hit / n
+
+
+def test_planted_near_neighbor_recall_at_1(spark, emb):
+    # noisy copies (cos ~ 0.95 to their origin): the exact top-1 IS the
+    # origin for every query, and both indexes must find it at default
+    # parameters — this is the operating point of near-dup retrieval
+    rng = np.random.default_rng(99)
+    rows = emb.filter(F.col("vec_id") % 10 == 0).collect()
+    noisy = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        scale = np.linalg.norm(v) / np.sqrt(len(v)) * 0.25
+        nv = v + rng.normal(size=v.shape) * scale
+        noisy.append((r["vec_id"] + 1_000_000, [float(x) for x in nv]))
+    nq = spark.createDataFrame(noisy, ["vec_id", "embedding"])
+    exact = brute_force_topk(nq, emb, k=1).persist()
+    origin_is_top1 = exact.filter(
+        F.col("neighbor_id") == F.col("query_id") - 1_000_000
+    ).count()
+    assert origin_is_top1 == len(noisy)  # the gate measures the index
+    assert _recall(exact, lsh_topk(nq, emb, dim=64, k=1)) >= 0.9
+    assert _recall(exact, ivf_topk(nq, emb, k=1, n_cells=16, nprobe=4)) >= 0.9
+    exact.unpersist()
+
+
+def test_raw_corpus_recall_floors(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = brute_force_topk(queries, emb, k=10).persist()
+    exact.count()
+    # defaults (measured 0.21 / 0.51): tripwires at ~half measured
+    assert _recall(exact, lsh_topk(queries, emb, dim=64, k=10)) >= 0.12
+    assert (
+        _recall(exact, ivf_topk(queries, emb, k=10, n_cells=16, nprobe=4))
+        >= 0.35
+    )
+    # the documented recall knob must actually deliver (measured 0.82)
+    assert (
+        _recall(exact, lsh_topk(queries, emb, dim=64, k=10, probe_radius=1))
+        >= 0.6
+    )
+    exact.unpersist()
