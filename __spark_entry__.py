@@ -704,6 +704,30 @@ FROM embeddings WHERE vec_id % 7 = 0
 """
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with query-side multi-probe (Hamming radius 1 — the
+    recall knob, operators/similarity.py): the scaled-copy invariant
+    holds a fortiori (radius-1 candidates are a superset of the exact
+    bucket's, and the re-rank is exact), so the same closed-form
+    oracle covers the multi-probe path end-to-end.  Recall lift is
+    measured separately (tools/recall_bench.py, BASELINE.md)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    top = lsh_topk(queries, emb, dim=64, k=1, probe_radius=1)
+    return top.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
+
+
+_ANN_LSH_MULTIPROBE_SQL = """
+SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id
+FROM embeddings WHERE vec_id % 9 = 0
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: scaled-copy queries must retrieve their original as
     top-1.  Scaling by 1.0001 preserves every centroid cosine, so the
@@ -1009,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "streaming_budget": q_streaming_budget,
@@ -1043,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _ann_bruteforce_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_lsh": _ANN_LSH_SQL,
+        "ann_lsh_multiprobe": _ANN_LSH_MULTIPROBE_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "ann_ivf_kmeans": _ANN_IVF_KMEANS_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,

@@ -100,6 +100,7 @@ def bloom_prefilter(
     n_buckets: int = 32,
     bits_per_bucket: int = 1 << 17,
     n_funcs: int = 5,
+    dedup_by_hash: bool = False,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen``; definite-new rows (bloom
     miss) skip the exact anti-join entirely.
@@ -108,6 +109,17 @@ def bloom_prefilter(
     candidate group in a few numpy passes — the bitmap is never
     duplicated per row, which is what lets 10^10-URL bloom state
     (GiBs of bits) stay partition-owned instead of broadcast.
+
+    ``dedup_by_hash=True`` additionally drops duplicate ``hash_col``
+    rows inside the probe: the bucket is a pure function of the hash,
+    so equal hashes always land in the same task and an in-task
+    ``drop_duplicates`` IS a global dedup — sharing the bucket
+    exchange instead of paying a second, string-keyed shuffle (the
+    round-3 verdict's top lever: the crawl's link-discovery
+    ``dropDuplicates(url)`` was the widest exchange in the engine).
+    Rows with equal hash are identical in every derived column (the
+    64-bit hash is the engine-wide URL identity), so keeping the
+    first is deterministic.
     """
     from pyspark.sql.types import StructType
 
@@ -119,6 +131,10 @@ def bloom_prefilter(
     )
 
     def _probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if dedup_by_hash and len(cand_pdf):
+            cand_pdf = cand_pdf.drop_duplicates(
+                subset=[hash_col], ignore_index=True
+            )
         if len(cand_pdf) == 0:
             return cand_pdf.assign(maybe_seen=pd.array([], dtype="int32"))
         if len(bloom_pdf) == 0:
@@ -180,9 +196,15 @@ def new_urls(
     blooms: DataFrame | None = None,
     hash_col: str = "url_hash",
     persisted_out: list | None = None,
+    dedup: bool = False,
     **bloom_kwargs,
 ) -> DataFrame:
     """candidates ∖ seen — exact, with optional bloom prefilter.
+
+    ``dedup=True`` also drops duplicate ``hash_col`` rows (the crawl's
+    per-round link dedup): with blooms it rides the bucket cogroup for
+    free (see :func:`bloom_prefilter`); without, it is a plain
+    hash-keyed ``dropDuplicates`` before the anti-join.
 
     The exact ``left_anti`` join is the authority; when blooms are
     supplied, ONLY bloom-positive rows pay for it.  At 10^10 URLs the
@@ -201,8 +223,12 @@ def new_urls(
     omit it (the cache dies with the session).
     """
     if blooms is None:
+        if dedup:
+            candidates = candidates.dropDuplicates([hash_col])
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
-    tagged = bloom_prefilter(candidates, blooms, hash_col, **bloom_kwargs).persist()
+    tagged = bloom_prefilter(
+        candidates, blooms, hash_col, dedup_by_hash=dedup, **bloom_kwargs
+    ).persist()
     if persisted_out is not None:
         persisted_out.append(tagged)
     definite_new = tagged.filter(F.col("maybe_seen") == 0).drop("maybe_seen")

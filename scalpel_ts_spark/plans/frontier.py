@@ -6,12 +6,16 @@ One crawl round is one Spark job pipeline over snapshot tables:
        │ join on host_id
        ▼
     salted top-k per host (operators.topk — politeness priority queue)
-       │
+       │ (production: robots pre-vet for hosts with no cached rules)
     fetch UDF ── parse+extract UDF (one parse: spans, links, title)
        │
-    explode links ── canonicalize ── robots filter
+    explode links ── canonicalize
        │
-    bloom prefilter + exact anti-join vs seen (operators.seen)
+    bloom prefilter + hash dedup (ONE bucket exchange) + exact
+    anti-join vs seen (operators.seen)
+       │
+    robots filter (runs on the small genuinely-new set: per-URL
+    allow/deny commutes with dedup and set-difference)
        │
     write snapshots: docs+, fetch_log+, seen+, frontier', host_state',
                      bloom', manifest (metrics + per-partition lineage)
@@ -42,6 +46,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from scalpel_ts_spark.functions.robots import robots_filter_stage
 from scalpel_ts_spark.functions.url import canonicalize_url, url_hash
 from scalpel_ts_spark.operators.extract import crawl_extract_udf
 from scalpel_ts_spark.operators.seen import build_bloom, new_urls, update_bloom
@@ -90,6 +95,23 @@ def frontier_anti_join(
     if expected_rows <= broadcast_max:
         fetched_keys = F.broadcast(fetched_keys)
     return frontier.join(fetched_keys, "url_hash", "left_anti")
+
+
+def _obs_count(obs: Observation, key: str) -> int:
+    """Read a count metric off an Observation, treating a never-fired
+    observation as 0.
+
+    When the observed side of a union is EMPTY at runtime, AQE's
+    empty-relation propagation can prune the CollectMetrics node
+    entirely — the metric row is then null and ``Observation.get``
+    raises from the JVM instead of returning.  For count metrics the
+    pruned-empty case IS zero (discovered latent: any round with zero
+    robots cache misses hit this; a job that genuinely failed raises
+    at its action, long before the metric read)."""
+    try:
+        return int(obs.get[key])
+    except Exception:
+        return 0
 
 
 def _coalesce_for_write(
@@ -192,6 +214,12 @@ class CrawlEngine:
         self.broadcast_fetched_max = broadcast_fetched_max
         self.round = 0
         self._frontier_rows: int | None = None
+        #: tracked host-universe size (rows in the per-host tables),
+        #: accumulated from the per-round robots cache-miss
+        #: observations — the actual row count, not the n_hosts config
+        #: (round-3 ADVICE: an understated config must not let a grown
+        #: robots table collect onto the driver)
+        self._host_rows: int = 0
         self._consec_all_error_rounds = 0
         self.manifest = {
             "config": self._config(),
@@ -222,17 +250,26 @@ class CrawlEngine:
         under DRIVER_WRITE_MAX_ROWS they take the storage seam's
         driver-side write (no distributed job, no commit-protocol
         renames); past it they stay distributed, file count bounded.
+
+        The gate uses the TRACKED row count of the host universe
+        (``_host_rows``, accumulated from robots cache-miss
+        observations; resume recomputes it from the manifest), not the
+        static ``n_hosts`` config — with a production robots_stage the
+        table grows with discovered hosts, and an understated config
+        must not collect an oversized table onto the driver (round-3
+        ADVICE).  The tracked count lags the current round's write by
+        one round of discovery, so the gate keeps 2x headroom.
+
         ``write_small`` is an OPTIONAL storage method (Protocol bodies
         are not inherited by duck-typed implementations): a custom
         storage written to the original five-method contract falls
         back to its plain write."""
+        est = max(self.n_hosts, self._host_rows)
         write_small = getattr(self.storage, "write_small", None)
-        if write_small is not None and self.n_hosts <= DRIVER_WRITE_MAX_ROWS:
+        if write_small is not None and est <= DRIVER_WRITE_MAX_ROWS // 2:
             write_small(df, table, rnd)
         else:
-            self.storage.write(
-                _coalesce_for_write(df, self.n_hosts), table, rnd
-            )
+            self.storage.write(_coalesce_for_write(df, est), table, rnd)
 
     def _read(self, table: str, rnd: int) -> DataFrame:
         return self.storage.read(table, rnd)
@@ -285,8 +322,13 @@ class CrawlEngine:
             "host_state",
             0,
         )
+        # production robots cache rows carry an exemplar url (for
+        # re-fetches) and the consecutive-unreachable counter that
+        # bounds how long a 5xx DISALLOW_ALL sentinel sticks (r3
+        # ADVICE: RFC 9309 scopes complete-disallow to WHILE the file
+        # is unreachable, not forever)
         robots_schema = (
-            "host_id long, robots_txt string"
+            "host_id long, robots_txt string, url string, fetch_fails int"
             if self.robots_stage is not None
             else "host_id long, disallow_mod int, disallow_rem int"
         )
@@ -300,6 +342,7 @@ class CrawlEngine:
         self.round = 0
         self._frontier_rows = None  # re-count on the next round: a
         # re-initialized engine must not size tasks from a stale crawl
+        self._host_rows = 0
         self.manifest["rounds"] = []
         self.manifest["seen_full_rounds"] = [0]
         self._save_manifest()
@@ -331,7 +374,75 @@ class CrawlEngine:
         )
         eng.manifest = manifest
         eng.round = len(manifest["rounds"])
+        # rebuild the host-universe row tracker from the per-round
+        # cache-miss metrics (slight overcount under robots re-fetches
+        # — conservative: the driver-write gate only trips earlier)
+        eng._host_rows = sum(
+            m.get("robots_cache_misses", 0) for m in manifest["rounds"]
+        )
         return eng
+
+    # --- production robots helpers -----------------------------------------
+
+    @staticmethod
+    def _with_path(df: DataFrame) -> DataFrame:
+        """path-with-query for RFC 9309 rule matching; bare authority
+        becomes '/'."""
+        return df.withColumn(
+            "path",
+            F.coalesce(
+                F.nullif(
+                    F.regexp_replace(
+                        F.col("url"), r"^[a-z][a-z0-9+.-]*://[^/]*", ""
+                    ),
+                    F.lit(""),
+                ),
+                F.lit("/"),
+            ),
+        )
+
+    def _robots_fetch(
+        self, sites: DataFrame, robots_prev: DataFrame
+    ) -> DataFrame:
+        """Fetch robots.txt for ``sites`` (host_id, url) through the
+        production stage and attach the cache-metadata columns: the
+        exemplar url (so later re-fetches need no URL lookup) and
+        ``fetch_fails`` — consecutive fetches that came back as the
+        unreachable-sentinel body.  RFC 9309 scopes the 5xx
+        complete-disallow to while the file is UNREACHABLE (cached up
+        to ~24h), so hosts with ``0 < fetch_fails <=
+        max_fetch_retries`` are re-fetched each round until success or
+        the bound — the deterministic sandbox analog of a TTL (round-3
+        ADVICE).  A genuine disallow-all robots body matches the
+        sentinel and is re-fetched too: harmless (same body returns,
+        counter saturates at the bound).
+
+        Joins are per-host rows (never URL volume); robots_prev
+        supplies the previous counter, absent for new hosts.
+        """
+        from scalpel_ts_spark.functions.robots import DISALLOW_ALL
+
+        rules = self.robots_stage(sites).join(
+            sites.select("host_id", "url"), "host_id"
+        )
+        prev = robots_prev.select(
+            "host_id", F.col("fetch_fails").alias("_prev_fails")
+        )
+        return (
+            rules.join(prev, "host_id", "left")
+            .select(
+                "host_id",
+                "robots_txt",
+                "url",
+                F.when(
+                    F.col("robots_txt") == F.lit(DISALLOW_ALL),
+                    F.coalesce(F.col("_prev_fails"), F.lit(0)) + 1,
+                )
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("fetch_fails"),
+            )
+        )
 
     # --- one crawl round ---------------------------------------------------
 
@@ -379,6 +490,63 @@ class CrawlEngine:
             salt_buckets=self.salt_buckets,
             prune_k=self.cap,
         ).drop("tokens")
+
+        # 2b. robots-before-first-fetch (production path only; round-3
+        #     ADVICE, medium): RFC 9309 requires consulting robots.txt
+        #     BEFORE crawling, but rules are normally fetched at link-
+        #     discovery time — so a host's very first contact (round-1
+        #     seeds, typically) would otherwise be fetched blind.
+        #     Hosts in the batch with no cached robots row get their
+        #     robots.txt fetched NOW; only THEIR candidate rows pay the
+        #     cogrouped vet (hosts with a cached row were vetted when
+        #     their URLs were discovered); denied rows are excluded
+        #     from the fetch AND removed from the frontier (they can
+        #     never legally be fetched).  In steady state every host
+        #     has a cached row, so this is an empty anti-join.
+        robots_prev = self._read("robots", r)
+        prefetch_rules = None
+        denied = None
+        round_caches: list = []
+        if self.robots_stage is not None:
+            # the candidate batch (bounded by the round budget) gets
+            # FOUR consumers in this path — miss-host detection, the
+            # vet split, the fetch stage, and the denied-keys anti-join
+            # in the frontier write — so one bounded persist stops the
+            # top-k selection from recomputing per consumer
+            candidates = candidates.persist()
+            round_caches.append(candidates)
+            miss_sites = (
+                candidates.groupBy("host_id")
+                .agg(F.min("url").alias("url"))
+                .join(robots_prev.select("host_id"), "host_id", "left_anti")
+                .persist()
+            )
+            round_caches.append(miss_sites)
+            prefetch_obs = Observation()
+            prefetch_rules = (
+                self._robots_fetch(miss_sites, robots_prev)
+                .observe(
+                    prefetch_obs, F.count(F.lit(1)).alias("n_prefetch")
+                )
+                .persist()
+            )
+            round_caches.append(prefetch_rules)
+            miss_hosts = F.broadcast(miss_sites.select("host_id"))
+            unknown = candidates.join(miss_hosts, "host_id", "left_semi")
+            vetted = (
+                robots_filter_stage(
+                    self._with_path(unknown), prefetch_rules
+                )
+                .drop("path")
+                .persist()
+            )
+            round_caches.append(vetted)
+            candidates = candidates.join(
+                miss_hosts, "host_id", "left_anti"
+            ).unionByName(vetted)
+            denied = unknown.join(
+                vetted.select("url_hash"), "url_hash", "left_anti"
+            ).select("url_hash")
 
         # 3. fetch + single-parse extraction (spans, links, title).
         # Explicit repartition first: AQE sizes partitions by shuffle
@@ -463,8 +631,15 @@ class CrawlEngine:
         else:
             content = fetched
         _mark("fetch_extract")
-        if n_fetched == 0:
+        # a zero-fetch round still COMMITS when the robots pre-vet
+        # denied candidates: those rows must leave the frontier, or the
+        # same denied batch would be re-selected forever
+        if n_fetched == 0 and (
+            denied is None or denied.limit(1).count() == 0
+        ):
             fetched_all.unpersist()
+            for cached in round_caches:
+                cached.unpersist()
             # 'frontier exhausted' and 'every fetch failed this round'
             # are different conditions (round-2 ADVICE, medium): a
             # clean empty round ends the crawl; an all-error round is
@@ -490,15 +665,17 @@ class CrawlEngine:
         self._consec_all_error_rounds = 0
 
         # 4. link discovery -> canonical candidate URLs.  Robots rules
-        #    come from the per-host cache table: rules are "fetched"
-        #    only for hosts seen for the first time (cache misses are
-        #    a per-round metric), then broadcast-joined onto the
-        #    candidates — hosts are few relative to URLs, so the rule
-        #    side always broadcasts.
+        #    come from the per-host cache table: rules are fetched only
+        #    for hosts seen for the first time (cache misses are a
+        #    per-round metric), plus — production path — bounded
+        #    re-fetches of unreachable hosts whose cached DISALLOW_ALL
+        #    sentinel must not stick forever (round-3 ADVICE; RFC 9309
+        #    scopes complete-disallow to while the file is
+        #    unreachable).
         # persisted: the regex-heavy canonicalize + host-extract pass
         # over every discovered link feeds BOTH the new-host robots
-        # lookup and the discovery filter — without the persist it
-        # runs twice
+        # lookup and the dedup pipeline — without the persist it runs
+        # twice
         candidates_raw = (
             content.select(F.explode("ex.links").alias("raw_url"))
             .select(canonicalize_url(F.col("raw_url")).alias("url"))
@@ -506,22 +683,36 @@ class CrawlEngine:
             .filter(F.col("host_id").isNotNull())
             .persist()
         )
-        robots_prev = self._read("robots", r)
+        if prefetch_rules is not None:
+            # rules fetched by the pre-vet join the cache view for the
+            # rest of the round (and its write) — never re-fetched at
+            # discovery time
+            robots_prev = robots_prev.unionByName(prefetch_rules)
         # the cache-miss count rides the robots snapshot write as an
         # Observation (like n_new below) instead of paying a dedicated
         # count job per round; new_rules stays persisted because two
         # consumers pull it (the discovery filter + the write)
         if self.robots_stage is not None:
-            # production path: fetch the REAL robots.txt once per new
-            # host (exemplar url carries scheme+authority), vet links
-            # with the cogrouped RFC 9309 filter — rule state stays
-            # partitioned by host, never broadcast
             new_sites = (
                 candidates_raw.groupBy("host_id")
                 .agg(F.min("url").alias("url"))
                 .join(robots_prev.select("host_id"), "host_id", "left_anti")
             )
-            new_rules = self.robots_stage(new_sites).persist()
+            retry_sites = robots_prev.filter(
+                (F.col("fetch_fails") > 0)
+                & (F.col("fetch_fails") <= F.lit(self.max_fetch_retries))
+            ).select("host_id", "url")
+            if prefetch_rules is not None:
+                # a host the pre-vet just fetched is not retried again
+                # within the same round
+                retry_sites = retry_sites.join(
+                    miss_sites.select("host_id"), "host_id", "left_anti"
+                )
+            sites = new_sites.unionByName(retry_sites)
+            new_rules = self._robots_fetch(sites, robots_prev).persist()
+            robots_kept = robots_prev.join(
+                retry_sites.select("host_id"), "host_id", "left_anti"
+            )
         else:
             new_hosts = (
                 candidates_raw.select("host_id")
@@ -529,61 +720,61 @@ class CrawlEngine:
                 .join(robots_prev.select("host_id"), "host_id", "left_anti")
             )
             new_rules = fetch_robots_rules(new_hosts).persist()
+            robots_kept = robots_prev
         robots_obs = Observation()
-        robots = robots_prev.unionByName(
+        robots = robots_kept.unionByName(
             new_rules.observe(
                 robots_obs, F.count(F.lit(1)).alias("n_new_rules")
             )
         )
         _mark("robots")
-        if self.robots_stage is not None:
-            from scalpel_ts_spark.functions.robots import robots_filter_stage
 
-            # path-with-query for rule matching; bare authority => "/"
-            with_path = candidates_raw.withColumn(
-                "path",
-                F.coalesce(
-                    F.nullif(
-                        F.regexp_replace(
-                            F.col("url"), r"^[a-z][a-z0-9+.-]*://[^/]*", ""
-                        ),
-                        F.lit(""),
-                    ),
-                    F.lit("/"),
-                ),
-            )
-            allowed = robots_filter_stage(with_path, robots).drop("path")
+        # 5. seen-set dedup FIRST: the in-bucket hash dedup rides the
+        #    bloom cogroup's url_hash-derived exchange (one exchange
+        #    for dedup + probe, replacing the former string-keyed
+        #    dropDuplicates shuffle — round-3 verdict's top lever), and
+        #    the exact anti-join sees only bloom suspects.  Only
+        #    (url, host_id, url_hash) travels through the exchange.
+        seen = self._seen_union(r)
+        blooms = self._read("bloom", r) if self.use_bloom else None
+        bloom_caches: list = []
+        discovered = candidates_raw.select(
+            "url", "host_id", url_hash(F.col("url")).alias("url_hash")
+        )
+        new_keys = new_urls(
+            discovered,
+            seen,
+            blooms,
+            n_buckets=self.bloom_buckets,
+            persisted_out=bloom_caches,
+            dedup=True,
+        )
+        # robots vetting AFTER the set-difference: per-URL allow/deny
+        # commutes with dedup and anti-join, so it vets the (much
+        # smaller) genuinely-new set instead of the full discovery
+        # volume; the ordering keys (priority, seq) are likewise
+        # derived post-dedup only.  Denied URLs never reach seen/
+        # frontier/bloom — exactly as when the filter ran first.
+        if self.robots_stage is not None:
+            allowed = robots_filter_stage(
+                self._with_path(new_keys), robots
+            ).drop("path")
         else:
             allowed = (
-                candidates_raw.join(F.broadcast(robots), "host_id")
+                new_keys.join(F.broadcast(robots), "host_id")
                 .filter(
                     page_id_col(F.col("url")) % F.col("disallow_mod")
                     != F.col("disallow_rem")
                 )
                 .drop("disallow_mod", "disallow_rem")
             )
-        discovered = (
-            allowed.dropDuplicates(["url"])
-            .select(
-                "url",
-                "host_id",
-                F.lit(r + 1).alias("priority"),
-                seq_col(F.col("url")).alias("seq"),
-                url_hash(F.col("url")).alias("url_hash"),
-                F.lit(0).alias("fails"),
-            )
-        )
-
-        # 5. seen-set dedup: bloom prefilter + exact anti-join
-        seen = self._seen_union(r)
-        blooms = self._read("bloom", r) if self.use_bloom else None
-        bloom_caches: list = []
-        fresh = new_urls(
-            discovered,
-            seen,
-            blooms,
-            n_buckets=self.bloom_buckets,
-            persisted_out=bloom_caches,
+        fresh = allowed.select(
+            "url",
+            "host_id",
+            F.lit(r + 1).alias("priority"),
+            seq_col(F.col("url")).alias("seq"),
+            "url_hash",
+            F.lit(0).alias("fails"),
         ).persist()
         # the new-URL count rides the seen write as an Observation
         # instead of paying a separate count job; fresh stays persisted
@@ -593,14 +784,24 @@ class CrawlEngine:
             n_new_obs, F.count(F.lit(1)).alias("n_new")
         ).select("url", "url_hash")
 
-        # 6. next frontier = pending - fetched + fresh.  The fetched
-        #    set is bounded by the round budget (cap x n_hosts, known a
-        #    priori): broadcast only while that bound is small, else a
-        #    plain anti-join (frontier_anti_join)
+        # 6. next frontier = pending - fetched - robots-denied + fresh.
+        #    The removal set is bounded by the round budget (cap x
+        #    n_hosts, known a priori — fetched and denied are disjoint
+        #    subsets of the candidate batch): broadcast only while that
+        #    bound is small, else a plain anti-join (frontier_anti_join)
         round_budget = self.cap * self.n_hosts
+        removal_keys = fetched.select("url_hash")
+        denied_obs = None
+        if denied is not None:
+            denied_obs = Observation()
+            removal_keys = removal_keys.unionByName(
+                denied.observe(
+                    denied_obs, F.count(F.lit(1)).alias("n_denied")
+                )
+            )
         kept = frontier_anti_join(
             frontier,
-            fetched.select("url_hash"),
+            removal_keys,
             round_budget,
             self.broadcast_fetched_max,
         )
@@ -762,12 +963,19 @@ class CrawlEngine:
             # marking it earlier would let a failed-then-retried round
             # treat a mere delta as the entire seen set
             self.manifest.setdefault("seen_full_rounds", [0]).append(nxt)
-        n_new = int(n_new_obs.get["n_new"])
+        n_new = _obs_count(n_new_obs, "n_new")
+        n_denied = (
+            _obs_count(denied_obs, "n_denied") if denied_obs is not None else 0
+        )
         if kept_obs is not None:
-            self._frontier_rows = int(kept_obs.get["n_kept"]) + n_new
+            self._frontier_rows = _obs_count(kept_obs, "n_kept") + n_new
         else:
-            self._frontier_rows = self._frontier_rows - n_fetched + n_new
+            self._frontier_rows = (
+                self._frontier_rows - n_fetched - n_denied + n_new
+            )
         for cached in bloom_caches:
+            cached.unpersist()
+        for cached in round_caches:
             cached.unpersist()
         candidates_raw.unpersist()
         new_rules.unpersist()
@@ -775,16 +983,22 @@ class CrawlEngine:
         fresh.unpersist()
         _mark("commit")
 
+        cache_misses = _obs_count(robots_obs, "n_new_rules")
+        if prefetch_rules is not None:
+            cache_misses += _obs_count(prefetch_obs, "n_prefetch")
+        self._host_rows += cache_misses
         metrics = {
             "round": nxt,
             "fetched": n_fetched,
             "discovered_new": n_new,
             "fetch_errors": n_errors,
-            "robots_cache_misses": int(robots_obs.get["n_new_rules"]),
+            "robots_cache_misses": cache_misses,
             "wall_sec": round(time.time() - t0, 3),
             "sections": sections,
             "lineage": lineage,
         }
+        if denied_obs is not None:
+            metrics["robots_denied"] = n_denied
         self.manifest["rounds"].append(metrics)
         self.round = nxt
         self._save_manifest()

@@ -340,9 +340,11 @@ def test_fetched_antijoin_broadcast_is_conditional(spark):
 
 
 def _robots_web_fetch(url):
-    """Synthetic web + REAL robots.txt bodies: hosts 0,1,4+ declare a
-    textual prefix rule, host 2's robots 404s (allow all), host 3's
-    robots server is down (disallow all)."""
+    """Synthetic web + REAL robots.txt bodies: hosts 1,3,4+ declare a
+    textual prefix rule, host 2's robots 404s (allow all), host 0's
+    robots server is down (disallow all).  Host 0 is the synthetic
+    web's HOT host (~20% of cross-links), so disallowed targets onto
+    it are guaranteed to be discovered."""
     from io import BytesIO
     from urllib.error import HTTPError
 
@@ -352,7 +354,7 @@ def _robots_web_fetch(url):
         host = int(url.split("//h")[1].split(".")[0])
         if host == 2:
             raise HTTPError(url, 404, "nf", None, BytesIO(b""))
-        if host == 3:
+        if host == 0:
             raise OSError("robots server down")
         return (200, "text/plain", b"User-agent: *\nDisallow: /p/1")
     return (200, "text/html; charset=utf-8",
@@ -382,19 +384,30 @@ def test_http_robots_stage_end_to_end(spark, tmp_path_factory):
         spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
         **stages,
     )
-    # host 3 (robots server down) is seeded directly: seeds bypass the
-    # discovery filter, but every link DISCOVERED onto host 3 (70% of
-    # a page's links are host-local) must be dropped as disallow-all
-    seeds = SEEDS + [make_url(3, 1)]
+    # host 0 (robots server down) and make_url(7, 11) (matches the
+    # textual Disallow: /p/1 prefix) are seeded directly: the pre-fetch
+    # vet (RFC 9309 — robots BEFORE a host's first contact; round-3
+    # ADVICE) must fetch robots for the seed hosts and deny both, so
+    # NEITHER is ever fetched, and links DISCOVERED onto host 0 are
+    # dropped as disallow-all
+    seeds = SEEDS + [make_url(0, 1)]
     eng.init(seeds)
-    eng.run(2)
+    m1 = eng.run_round()
+    assert m1["robots_denied"] == 2  # make_url(7, 11) + make_url(0, 1)
+    # the denied seeds left the frontier: never re-selected
+    frontier = {
+        r.url for r in spark.read.parquet(f"{wd}/frontier/r1").collect()
+    }
+    assert make_url(0, 1) not in frontier
+    assert make_url(7, 11) not in frontier
+    eng.run(1)
     # resume re-supplies the stages (callables cannot live in the
-    # manifest) and continues on the robots_txt-schema cache
+    # manifest) and continues on the robots cache
     eng2 = CrawlEngine.resume(spark, wd, **stages)
     eng2.run(1)
 
     log_urls = {r.url for r in eng2.fetch_log().collect()}
-    seen = {r.url for r in eng2.seen().collect()}
+    seen = {r.url for r in eng2.seen().collect()} - set(seeds)
     # recompute every out-link of every fetched page: which targets
     # SHOULD the robots rules have blocked?
     targets = set()
@@ -405,15 +418,15 @@ def test_http_robots_stage_end_to_end(spark, tmp_path_factory):
         }
     rule_blocked = {
         u for u in targets
-        if parse_url_ids(u)[0] not in (2, 3)
+        if parse_url_ids(u)[0] not in (2, 0)
         and str(parse_url_ids(u)[1]).startswith("1")
     }
-    host3 = {u for u in targets if parse_url_ids(u)[0] == 3}
-    assert rule_blocked and host3  # the scenario exercised both classes
+    host0 = {u for u in targets if parse_url_ids(u)[0] == 0}
+    assert rule_blocked and host0  # the scenario exercised both classes
     # Disallow: /p/1 prefix enforced on rule hosts; 5xx host fully
-    # disallowed — blocked targets never entered the seen set
+    # disallowed — blocked targets never entered the (discovered) seen
     assert not (rule_blocked & seen)
-    assert not (host3 & seen)
+    assert not (host0 & seen)
     # 404-robots host is fully allowed: /p/1* pages DO get discovered
     host2_blockedish = {
         u for u in (targets & seen)
@@ -421,15 +434,84 @@ def test_http_robots_stage_end_to_end(spark, tmp_path_factory):
         and str(parse_url_ids(u)[1]).startswith("1")
     }
     assert host2_blockedish
-    # nothing fetched violates the rules either (log is a subset of seen)
-    assert not {
-        u for u in log_urls if u not in set(seeds)
-    } & (rule_blocked | host3)
-    # on host 3 exactly the seed was ever fetched
-    assert {u for u in log_urls if parse_url_ids(u)[0] == 3} == {
-        make_url(3, 1)
-    }
-    # robots cache: one row per encountered host, bodies persisted
+    # with the pre-fetch vet NOTHING fetched violates robots — seeds
+    # included (the round-2 contract carved seeds out; round-4 closes it)
+    assert not log_urls & (rule_blocked | host0)
+    assert make_url(7, 11) not in log_urls
+    assert not {u for u in log_urls if parse_url_ids(u)[0] == 0}
+    # robots cache: one row per encountered host; the unreachable host
+    # carries its bounded-retry counter (re-fetched once per round)
     rules = spark.read.parquet(f"{wd}/robots/r{eng2.round}")
-    assert rules.columns == ["host_id", "robots_txt"]
+    assert rules.columns == ["host_id", "robots_txt", "url", "fetch_fails"]
     assert rules.count() == rules.select("host_id").distinct().count()
+    by_host = {r.host_id: r for r in rules.collect()}
+    assert by_host[0].fetch_fails == 3  # prefetch + 2 discovery retries
+    assert all(
+        r.fetch_fails == 0 for h, r in by_host.items() if h != 0
+    )
+
+
+def _flaky_robots_fetch(flag_path, url):
+    """Host 1's robots server is down until ``flag_path`` exists;
+    every other host serves an allow-all robots.  Pages are the
+    synthetic web."""
+    import os
+
+    from scalpel_ts_spark.sources.synthetic import html_for_url
+
+    if url.endswith("/robots.txt"):
+        host = int(url.split("//h")[1].split(".")[0])
+        if host == 1 and not os.path.exists(flag_path):
+            raise OSError("robots server down")
+        return (200, "text/plain", b"User-agent: *\nAllow: /")
+    return (200, "text/html; charset=utf-8",
+            html_for_url(url, N_HOSTS).encode("utf-8"))
+
+
+def test_unreachable_robots_refetch_recovers(spark, tmp_path_factory):
+    """Round-3 ADVICE: a transient 5xx must not blank a host forever.
+    The DISALLOW_ALL sentinel carries a fetch_fails counter; the host
+    is re-fetched each round (bounded by max_fetch_retries) and a
+    successful fetch replaces the sentinel with the real body."""
+    from functools import partial
+
+    from scalpel_ts_spark.functions.robots import (
+        DISALLOW_ALL,
+        http_robots_stage,
+    )
+    from scalpel_ts_spark.sources.fetch import http_fetch_stage
+    from scalpel_ts_spark.sources.synthetic import make_url
+
+    wd = str(tmp_path_factory.mktemp("crawl_robots_recover"))
+    flag = str(tmp_path_factory.mktemp("robots_flag") / "up")
+    fetch_fn = partial(_flaky_robots_fetch, flag)
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
+        fetch_stage=partial(http_fetch_stage, fetch_fn=fetch_fn),
+        robots_stage=http_robots_stage(fetch_fn),
+    )
+    eng.init([make_url(1, 0), make_url(2, 5)])
+
+    def host1_row(rnd):
+        rows = {
+            r.host_id: r
+            for r in spark.read.parquet(f"{wd}/robots/r{rnd}").collect()
+        }
+        return rows.get(1)
+
+    m1 = eng.run_round()
+    # pre-vet fetched host 1's robots, got the outage sentinel, denied
+    # the seed; host 2 crawled normally
+    assert m1["robots_denied"] == 1
+    r1 = host1_row(1)
+    assert r1.robots_txt == DISALLOW_ALL and r1.fetch_fails == 1
+    eng.run_round()
+    r2 = host1_row(2)
+    assert r2.robots_txt == DISALLOW_ALL and r2.fetch_fails == 2
+    # server comes back: the next round's bounded re-fetch replaces
+    # the sentinel with the real body and resets the counter
+    open(flag, "w").close()
+    eng.run_round()
+    r3 = host1_row(3)
+    assert r3.robots_txt == "User-agent: *\nAllow: /"
+    assert r3.fetch_fails == 0

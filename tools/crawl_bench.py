@@ -1,0 +1,68 @@
+"""Crawl-only bench: the bench.py headline crawl loop, nothing else.
+
+Used for interleaved A/B runs of engine changes (this host swings
+±30-50% run-to-run, so old/new must alternate).  Prints ONE JSON line
+with wall, urls/sec and the per-stage sections.
+
+Usage: python tools/crawl_bench.py [rounds]
+Env: SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+
+
+def main() -> None:
+    from scalpel_ts_spark.plans.frontier import CrawlEngine
+    from scalpel_ts_spark.sources.session import get_spark
+    from scalpel_ts_spark.sources.synthetic import make_url
+
+    spark = get_spark("crawl_bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up (untimed): JVM/codegen/Python-worker spin-up
+    warm = tempfile.mkdtemp(prefix="cb_warm_")
+    weng = CrawlEngine(spark, warm, n_hosts=5, cap=8, refill=4)
+    weng.init([f"http://h{h}.test/p/{p}" for h in range(5) for p in range(3)])
+    weng.run(1)
+    shutil.rmtree(warm, ignore_errors=True)
+
+    workdir = tempfile.mkdtemp(prefix="cb_crawl_")
+    eng = CrawlEngine(
+        spark, workdir, n_hosts=200, cap=512, refill=256,
+        salt_buckets=16, write_docs=True,
+    )
+    eng.init([make_url(h, p) for h in range(200) for p in range(25)])
+    t0 = time.time()
+    fetched = 0
+    sections: dict[str, float] = {}
+    for m in eng.run(ROUNDS):
+        fetched += m["fetched"]
+        for k, v in m.get("sections", {}).items():
+            sections[k] = round(sections.get(k, 0.0) + v, 2)
+    wall = round(time.time() - t0, 3)
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps({
+        "crawl_sec": wall,
+        "urls_fetched": fetched,
+        "urls_per_sec": round(fetched / wall, 1),
+        "sections": sections,
+        "cpus": CPUS,
+        "rounds": ROUNDS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,13 @@ equally.
 Usage:
     python tools/scaling_bench.py            # run both levels, print JSON
     python tools/scaling_bench.py --child 8  # internal: one level
+
+SCALING_PAIRS=5 runs the INTERLEAVED-PAIR protocol (round-3 verdict
+item 4): N,4N alternate back-to-back so each pair sees the same host
+conditions, per-pair efficiencies are reported with their MEDIAN as
+the headline — the same discipline the query A/Bs use, extended to
+the scaling evidence.  Per-level medians are reported alongside so
+cross-level host drift is quantifiable.
 """
 
 from __future__ import annotations
@@ -82,28 +89,43 @@ def child(cores: int) -> None:
     }))
 
 
+def _run_child(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    print(line, file=sys.stderr)
+    return json.loads(line)
+
+
 def main() -> None:
+    import statistics
+
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         child(int(sys.argv[2]))
         return
-    results = {}
-    for cores in (CORES_N, CORES_4N):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-            capture_output=True, text=True, timeout=3600,
+    pairs = int(os.environ.get("SCALING_PAIRS", "1"))
+    per_pair = []
+    thr = {CORES_N: [], CORES_4N: []}
+    for _ in range(pairs):
+        rn = _run_child(CORES_N)
+        r4 = _run_child(CORES_4N)
+        thr[CORES_N].append(rn["urls_per_sec"])
+        thr[CORES_4N].append(r4["urls_per_sec"])
+        per_pair.append(
+            round((r4["urls_per_sec"] / rn["urls_per_sec"]) / 4, 3)
         )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(line)
-        print(line, file=sys.stderr)
-    thr_n = results[CORES_N]["urls_per_sec"]
-    thr_4n = results[CORES_4N]["urls_per_sec"]
-    eff = (thr_4n / thr_n) / 4
+    med_n = statistics.median(thr[CORES_N])
+    med_4n = statistics.median(thr[CORES_4N])
     print(json.dumps({
         "job": f"crawl macro-round, {N_HOSTS * PAGES_PER_HOST}-URL frontier",
-        f"local{CORES_N}": results[CORES_N],
-        f"local{CORES_4N}": results[CORES_4N],
-        "speedup": round(thr_4n / thr_n, 2),
-        "scaling_efficiency": round(eff, 3),
+        "pairs": pairs,
+        f"local{CORES_N}_urls_per_sec": thr[CORES_N],
+        f"local{CORES_4N}_urls_per_sec": thr[CORES_4N],
+        "pair_efficiencies": per_pair,
+        "median_pair_efficiency": round(statistics.median(per_pair), 3),
+        "per_level_median_efficiency": round((med_4n / med_n) / 4, 3),
     }))
 
 
