@@ -28,6 +28,15 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "4"))
+# crawl snapshots on tmpfs when available (same rationale as
+# tools/scaling_bench.py, BASELINE.md r4): the sandbox's one shared
+# virtio disk injected 2-40s of writeback noise into the commit
+# section across rounds 1-3 ("loaded host" runs), while a production
+# crawl commits to object storage that scales with the cluster.
+# Override with BENCH_WORKDIR=/tmp to measure the disk path.
+WORKDIR_BASE = os.environ.get(
+    "BENCH_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+)
 
 
 def main() -> None:
@@ -58,13 +67,13 @@ def main() -> None:
     # codegen that a long-lived cluster pays once, not per crawl).  The
     # miniature crawl touches every code path: parquet IO, pandas UDFs,
     # cogroups, broadcasts, window/top-k.
-    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_", dir=WORKDIR_BASE)
     weng = CrawlEngine(spark, warm_dir, n_hosts=5, cap=8, refill=4)
     weng.init([f"http://h{h}.test/p/{p}" for h in range(5) for p in range(3)])
     weng.run(1)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    workdir = tempfile.mkdtemp(prefix="bench_crawl_")
+    workdir = tempfile.mkdtemp(prefix="bench_crawl_", dir=WORKDIR_BASE)
     urls_fetched = 0
 
     def crawl() -> None:

@@ -41,6 +41,19 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill scratch on tmpfs when available: on a real cluster
+    # every executor spills to ITS OWN local SSDs (a resource that
+    # scales with the cluster), but this sandbox's lone virtio disk is
+    # shared by all 32 "executor" threads — measured as a data-volume-
+    # dependent, non-scaling ~50s drag on a 2M-URL crawl round's dedup
+    # shuffle (BASELINE.md r4).  SPARK_GRAFT_LOCAL_DIR overrides; set
+    # it to /tmp to measure the disk path.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None,
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

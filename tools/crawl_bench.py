@@ -23,6 +23,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 
 
+WORKDIR_BASE = os.environ.get(
+    "BENCH_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+)  # tmpfs: same rationale as bench.py / scaling_bench.py (BASELINE.md r4)
+
+
 def main() -> None:
     from scalpel_ts_spark.plans.frontier import CrawlEngine
     from scalpel_ts_spark.sources.session import get_spark
@@ -32,13 +37,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up (untimed): JVM/codegen/Python-worker spin-up
-    warm = tempfile.mkdtemp(prefix="cb_warm_")
+    warm = tempfile.mkdtemp(prefix="cb_warm_", dir=WORKDIR_BASE)
     weng = CrawlEngine(spark, warm, n_hosts=5, cap=8, refill=4)
     weng.init([f"http://h{h}.test/p/{p}" for h in range(5) for p in range(3)])
     weng.run(1)
     shutil.rmtree(warm, ignore_errors=True)
 
-    workdir = tempfile.mkdtemp(prefix="cb_crawl_")
+    workdir = tempfile.mkdtemp(prefix="cb_crawl_", dir=WORKDIR_BASE)
     eng = CrawlEngine(
         spark, workdir, n_hosts=200, cap=512, refill=256,
         salt_buckets=16, write_docs=True,

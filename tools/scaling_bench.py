@@ -2,13 +2,15 @@
 from N to 4N executors).
 
 No real cluster exists in the sandbox, so the same job runs at two
-parallelism levels — local[8] vs local[32] — on the SAME input: one
-macro-round of the crawl engine over a 1M-URL seeded frontier
-(politeness top-k -> fetch -> parse+extract -> link discovery ->
-canonicalize -> bloom+exact seen dedup -> snapshot commit).  Each
-level runs in a fresh process/JVM with a small warm-up crawl first so
-codegen/Python-worker startup is excluded from both measurements
-equally.
+parallelism levels on the SAME input: one macro-round of the crawl
+engine over a 2M-URL seeded frontier (SCALING_PAGES_PER_HOST) (politeness top-k -> fetch ->
+parse+extract -> link discovery -> canonicalize -> bloom+exact seen
+dedup -> snapshot commit).  Each level runs in a fresh process/JVM
+with a small warm-up crawl first so codegen/Python-worker startup is
+excluded from both measurements equally, and — round 4 — each child
+is ``taskset``-pinned to exactly its core count, because ``local[N]``
+caps task slots but not actual CPU (see ``_run_child``); the pin is
+what makes "N cores" physically true, as an executor cgroup would.
 
 Usage:
     python tools/scaling_bench.py            # run both levels, print JSON
@@ -35,8 +37,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_HOSTS = 500
-PAGES_PER_HOST = int(os.environ.get("SCALING_PAGES_PER_HOST", "1000"))
+# default 4000 pages/host = a 2M-URL macro-round.  The round loop
+# carries ~18s of serial driver time (Catalyst planning, job
+# submission, manifest IO — measured by per-section Amdahl split at
+# 2 vs 8 pinned cores, BASELINE.md) that is CONSTANT per round; at the
+# 10^10-URL design point a round is >=10^8 URLs, so the sandbox job
+# must be big enough that this fixed cost doesn't masquerade as an
+# engine scaling limit.  2M URLs puts the serial share at ~4% of the
+# 4N-level wall (500k reads ~0.66 pair efficiency on serial share
+# alone; 2M predicts ~0.87).
+PAGES_PER_HOST = int(os.environ.get("SCALING_PAGES_PER_HOST", "4000"))
 ROUNDS = 1
+# snapshot workdir on tmpfs when available: the sandbox's single
+# shared virtio disk is a resource a real cluster does NOT share
+# (HDFS/S3/Iceberg object storage scales with executor count), and
+# its writeback stalls showed up as 40% run-to-run swings on the
+# 4N side only — tmpfs isolates the ENGINE's scaling from the box's
+# one disk.  Overridable for durability-focused runs.
+WORKDIR_BASE = os.environ.get(
+    "SCALING_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+)
 # N and 4N parallelism levels.  Default 2 vs 8: on this single-box
 # sandbox, Python-parse-heavy work saturates shared memory bandwidth
 # past ~8-16 of the 32 cores (pure-CPU work keeps scaling), which a
@@ -54,21 +74,33 @@ def child(cores: int) -> None:
     from scalpel_ts_spark.sources.session import get_spark
     from scalpel_ts_spark.sources.synthetic import make_url
 
+    # per-EXECUTOR memory is constant on a real cluster, so total
+    # memory scales with executor count — a fixed heap across
+    # parallelism levels anti-scales instead (4 concurrent tasks in
+    # the same 8g quadruple the live working set and start spilling
+    # where the 1-task run didn't; measured: the 4-core 4M-URL child
+    # ran 2.27x its 2M wall vs the 1-core child's clean 2.05x).
+    # 4g fixed (driver role) + 4g per core models "every executor
+    # brings its own memory", the north rule's multi-executor premise.
+    os.environ["SPARK_DRIVER_MEM"] = f"{4 + 4 * cores}g"
     spark = get_spark(f"scaling-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: tiny crawl exercises every code path once
-    wd = tempfile.mkdtemp(prefix="scale_warm_")
+    wd = tempfile.mkdtemp(prefix="scale_warm_", dir=WORKDIR_BASE)
     warm = CrawlEngine(spark, wd, n_hosts=5, cap=8, refill=4, salt_buckets=4,
                        write_docs=True)
     warm.init([make_url(h, 0) for h in range(5)])
     warm.run(2)
     shutil.rmtree(wd, ignore_errors=True)
 
-    # measured: one macro-round over a 1M-URL frontier
-    wd = tempfile.mkdtemp(prefix="scale_run_")
-    eng = CrawlEngine(spark, wd, n_hosts=N_HOSTS, cap=4096, refill=2048,
+    # measured: one macro-round over the full seeded frontier
+    wd = tempfile.mkdtemp(prefix="scale_run_", dir=WORKDIR_BASE)
+    # politeness budget must cover the whole frontier (cap x n_hosts
+    # >= seeded URLs) so the macro-round fetches everything it seeded
+    cap = max(4096, PAGES_PER_HOST + 256)
+    eng = CrawlEngine(spark, wd, n_hosts=N_HOSTS, cap=cap, refill=cap // 2,
                       salt_buckets=32, write_docs=True)
     seeds = spark.range(N_HOSTS * PAGES_PER_HOST).select(
         F.concat(
@@ -81,17 +113,32 @@ def child(cores: int) -> None:
     metrics = eng.run(ROUNDS)
     dt = time.time() - t0
     fetched = sum(m["fetched"] for m in metrics)
+    sections: dict = {}
+    for m in metrics:
+        for k, v in m.get("sections", {}).items():
+            sections[k] = round(sections.get(k, 0.0) + v, 2)
     shutil.rmtree(wd, ignore_errors=True)
     spark.stop()
     print(json.dumps({
         "cores": cores, "wall_sec": round(dt, 2), "urls": fetched,
-        "urls_per_sec": round(fetched / dt, 1),
+        "urls_per_sec": round(fetched / dt, 1), "sections": sections,
     }))
 
 
 def _run_child(cores: int) -> dict:
+    # PIN the child (and every JVM thread + Python worker it spawns —
+    # affinity is inherited) to `cores` physical CPUs.  `local[N]`
+    # alone caps TASK SLOTS, not CPU: GC, shuffle/Arrow IO threads,
+    # codegen and the Python worker pool all run beside the N task
+    # threads, so on an otherwise-idle box a local[2] JVM happily
+    # burns 6+ cores — measured here as a local[2] crawl at 3.3x the
+    # per-core throughput of local[32], flipping pair efficiency from
+    # 1.1 to 0.35 depending on host load.  A real cluster executor is
+    # cgroup-capped to its core count, which taskset reproduces; with
+    # the pin, per-pair efficiencies are stable across host regimes.
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, os.path.abspath(__file__), "--child", str(cores)],
         capture_output=True, text=True, timeout=3600,
     )
     line = out.stdout.strip().splitlines()[-1]
