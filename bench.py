@@ -7,9 +7,31 @@ fetch -> parse -> extract -> link discovery -> seen dedup -> snapshot
 commit), plus the training-data pipeline stages (span extraction,
 minhash near-dup, ANN, text stats) at the same scale factor.
 
-Scaling evidence (two-cluster-size rule): run with
-SPARK_GRAFT_CPUS=8 and =32 on the same input; BASELINE.md records
-throughput at both plus efficiency.
+Noise-immune protocol (round-4 verdict item 1): this host swings
+±30-50% run-to-run under neighbor load, and a single-shot artifact
+recorded a 2x phantom regression in r4 that interleaved A/Bs proved
+was regime, not code.  So every number here is a MEDIAN:
+
+* crawl: one untimed warm-up, then ``BENCH_CRAWL_REPS`` (default 3)
+  full timed runs; ``queries.crawl`` is the median wall, raw reps in
+  ``crawl_reps``, per-stage sections element-wise-median'd.
+* pipeline queries: one untimed warm rep apiece, then
+  ``BENCH_QUERY_REPS`` (default 3) reps interleaved round-robin
+  (q1,q2,...,q1,q2,...) so no query owns a quiet or noisy stretch of
+  the host; ``queries.<q>`` is the median, raw reps in ``query_reps``
+  — the same discipline tools/query_timing.py and tools/ab_bench.py
+  established.
+
+The artifact is self-describing about its substrate (round-4 ADVICE):
+``protocol.workdir`` / ``protocol.local_dir`` record where snapshots
+and shuffle scratch lived.  tmpfs is the standard when /dev/shm has
+headroom (see sources/session.py:tmpfs_local_dir for the sizing
+assumption); BENCH_WORKDIR=/tmp + SPARK_GRAFT_LOCAL_DIR=/tmp measure
+the disk path.
+
+Scaling evidence (two-cluster-size rule): tools/scaling_bench.py runs
+taskset-pinned N vs 4N-core pairs; BASELINE.md records throughput at
+both plus efficiency.
 """
 
 from __future__ import annotations
@@ -17,128 +39,218 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "4"))
-# crawl snapshots on tmpfs when available (same rationale as
-# tools/scaling_bench.py, BASELINE.md r4): the sandbox's one shared
-# virtio disk injected 2-40s of writeback noise into the commit
-# section across rounds 1-3 ("loaded host" runs), while a production
-# crawl commits to object storage that scales with the cluster.
-# Override with BENCH_WORKDIR=/tmp to measure the disk path.
-WORKDIR_BASE = os.environ.get(
-    "BENCH_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
-)
+CRAWL_REPS = int(os.environ.get("BENCH_CRAWL_REPS", "3"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+
+PIPELINE_QUERIES = [
+    "extract_spans",
+    "dedup_minhash",
+    "dedup_exact",
+    "dedup_simhash",
+    "text_stats",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_neardup",
+    "topk_lineitem",
+    "seen_antijoin_bloom",
+    "url_canonicalize",
+]
+
+
+def _median(xs: list[float]) -> float:
+    return round(statistics.median(xs), 3)
+
+
+def _cpu_sample() -> tuple[int, int, int]:
+    """(total, busy, steal) jiffies from the aggregate /proc/stat line.
+
+    Recorded around every crawl rep so the artifact carries its own
+    host-regime evidence: this shared VM's neighbors have produced
+    sustained 1.5-2x stretches (BENCH_r04's phantom crawl regression),
+    and a reading annotated with 'steal 30%, box 90% busy' is
+    interpretable on its own instead of needing a prose rebuttal."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return 0, 0, 0
+    total = sum(vals)
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    steal = vals[7] if len(vals) > 7 else 0
+    return total, total - idle, steal
+
+
+def _host_pct(before, after) -> dict:
+    dt = after[0] - before[0]
+    if dt <= 0:
+        return {}
+    return {
+        "busy_pct": round(100 * (after[1] - before[1]) / dt, 1),
+        "steal_pct": round(100 * (after[2] - before[2]) / dt, 1),
+    }
+
+
+def _calib(spark) -> float:
+    """Fixed pure-JVM reference job (range -> hash-agg, no repo code,
+    no Python workers): its wall time at a FIXED size is a cross-round
+    yardstick for the box's current throughput — a crawl reading is
+    comparable across BENCH_r{N} artifacts after dividing out the
+    calibration ratio."""
+    t0 = time.time()
+    (
+        spark.range(600_000_000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        .agg(F.sum("n"), F.sum("s"))
+        .collect()
+    )
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
     if not os.path.isdir(SF_DIR):
         sys.exit(f"bench: SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}")
-    from scalpel_ts_spark.sources.session import get_spark
+    from scalpel_ts_spark.sources.session import get_spark, tmpfs_local_dir
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    local_dir = tmpfs_local_dir()
+    workdir_base = os.environ.get(
+        "BENCH_WORKDIR", "/dev/shm" if local_dir else None
+    )
+    spark = get_spark(
+        "bench",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf={"spark.local.dir": local_dir} if local_dir else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
 
-    timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
-
-    def run(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-
-    # -- headline: the crawl round loop ------------------------------------
     from scalpel_ts_spark.plans.frontier import CrawlEngine
     from scalpel_ts_spark.sources.synthetic import make_url
 
+    # -- headline: the crawl round loop ------------------------------------
     # JVM/codegen/Python-worker warm-up, EXCLUDED from the timed runs —
     # the same protocol tools/scaling_bench.py has used since round 1
     # (a fresh local JVM spends 10-15s on first-job class loading and
     # codegen that a long-lived cluster pays once, not per crawl).  The
     # miniature crawl touches every code path: parquet IO, pandas UDFs,
     # cogroups, broadcasts, window/top-k.
-    warm_dir = tempfile.mkdtemp(prefix="bench_warm_", dir=WORKDIR_BASE)
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_", dir=workdir_base)
     weng = CrawlEngine(spark, warm_dir, n_hosts=5, cap=8, refill=4)
     weng.init([f"http://h{h}.test/p/{p}" for h in range(5) for p in range(3)])
     weng.run(1)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    workdir = tempfile.mkdtemp(prefix="bench_crawl_", dir=WORKDIR_BASE)
-    urls_fetched = 0
-
-    def crawl() -> None:
-        nonlocal urls_fetched
-
+    def crawl_once() -> tuple[float, int, dict[str, float]]:
         # large per-round politeness budget: rounds are macro-batches,
         # so fixed per-round scheduling cost amortizes over the batch
+        workdir = tempfile.mkdtemp(prefix="bench_crawl_", dir=workdir_base)
         eng = CrawlEngine(
             spark, workdir, n_hosts=200, cap=512, refill=256,
             salt_buckets=16, write_docs=True,
         )
         eng.init([make_url(h, p) for h in range(200) for p in range(25)])
+        t0 = time.time()
+        fetched = 0
+        sections: dict[str, float] = {}
         for m in eng.run(CRAWL_ROUNDS):
-            urls_fetched += m["fetched"]
+            fetched += m["fetched"]
             for k, v in m.get("sections", {}).items():
                 sections[k] = round(sections.get(k, 0.0) + v, 2)
+        wall = round(time.time() - t0, 3)
+        shutil.rmtree(workdir, ignore_errors=True)
+        return wall, fetched, sections
 
-    sections: dict[str, float] = {}
-    run("crawl", crawl)
-    shutil.rmtree(workdir, ignore_errors=True)
-    extra["urls_fetched"] = urls_fetched
-    extra["urls_per_sec"] = round(urls_fetched / timings["crawl"], 1)
-    # per-stage breakdown (fetch_extract / robots / seen_dedup / commit)
-    # so a slow run is diagnosable: this box's shared disk makes the
-    # commit/robots sections swing 2-8s run-to-run (BASELINE.md)
-    extra["crawl_sections"] = sections
+    _calib(spark)  # warm the calibration plan itself, untimed
+    crawl_walls: list[float] = []
+    crawl_sections: list[dict[str, float]] = []
+    calib_reps: list[float] = []
+    host_reps: list[dict] = []
+    urls_fetched = 0
+    for _ in range(CRAWL_REPS):
+        calib_reps.append(_calib(spark))  # regime yardstick, interleaved
+        h0 = _cpu_sample()
+        wall, urls_fetched, sections = crawl_once()
+        host_reps.append(_host_pct(h0, _cpu_sample()))
+        crawl_walls.append(wall)
+        crawl_sections.append(sections)
+    calib_reps.append(_calib(spark))
+
+    timings: dict[str, float] = {"crawl": _median(crawl_walls)}
+    extra: dict = {
+        "urls_fetched": urls_fetched,
+        "urls_per_sec": round(urls_fetched / timings["crawl"], 1),
+        # per-stage breakdown (fetch_extract / robots / seen_dedup /
+        # commit), element-wise median across reps, so a slow stage is
+        # diagnosable without a rep's host-noise spike owning the record
+        "crawl_sections": {
+            k: _median([s.get(k, 0.0) for s in crawl_sections])
+            for k in crawl_sections[0]
+        },
+        "crawl_reps": crawl_walls,
+        # regime evidence: fixed pure-JVM yardstick job (comparable at
+        # identical size across rounds) + /proc/stat busy/steal around
+        # each crawl rep — a slow reading carries its own explanation
+        "calib_jvm_sec": {"median": _median(calib_reps), "reps": calib_reps},
+        "host_during_crawl": host_reps,
+    }
 
     # -- pipeline stages over the sf tables --------------------------------
+    qs = E.queries()
     n_docs = 0
 
-    def extract() -> None:
+    def consume(name: str) -> None:
         nonlocal n_docs
-        df = E.q_extract_spans(spark, SF_DIR)
-        n_docs = df.select("doc_id").distinct().count()
+        df = qs[name](spark, SF_DIR)
+        if name == "extract_spans":
+            n_docs = df.select("doc_id").distinct().count()
         df.count()
 
-    run("extract_spans", extract)
+    for name in PIPELINE_QUERIES:  # untimed warm rep apiece
+        consume(name)
+    reps: dict[str, list[float]] = {n: [] for n in PIPELINE_QUERIES}
+    for _ in range(QUERY_REPS):
+        for name in PIPELINE_QUERIES:  # interleaved round-robin
+            t0 = time.time()
+            consume(name)
+            reps[name].append(round(time.time() - t0, 3))
+    for name in PIPELINE_QUERIES:
+        timings[name] = _median(reps[name])
+    extra["query_reps"] = reps
     extra["docs_extracted"] = n_docs
     extra["docs_per_sec"] = round(n_docs / timings["extract_spans"], 1)
-
-    run("dedup_minhash", lambda: E.q_dedup_minhash(spark, SF_DIR).count())
-    run("dedup_exact", lambda: E.q_dedup_exact(spark, SF_DIR).count())
-    run("dedup_simhash", lambda: E.q_dedup_simhash(spark, SF_DIR).count())
-    run("text_stats", lambda: E.q_text_stats(spark, SF_DIR).count())
-    run("ann_bruteforce", lambda: E.q_ann_bruteforce(spark, SF_DIR).count())
-    run("ann_lsh", lambda: E.q_ann_lsh(spark, SF_DIR).count())
-    run("ann_ivf", lambda: E.q_ann_ivf(spark, SF_DIR).count())
-    run("embedding_neardup",
-        lambda: E.q_embedding_neardup(spark, SF_DIR).count())
-    run("topk_lineitem", lambda: E.q_topk_lineitem(spark, SF_DIR).count())
-    run("seen_antijoin_bloom",
-        lambda: E.q_seen_antijoin_bloom(spark, SF_DIR).count())
-    run("url_canonicalize",
-        lambda: E.q_url_canonicalize(spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "crawl+pipeline wall time (headline: URLs fetched+"
-                  "extracted/sec in 'urls_per_sec')",
+        "metric": "crawl+pipeline wall time, medians of interleaved reps "
+                  "(headline: URLs fetched+extracted/sec in 'urls_per_sec')",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "protocol": {
+            "workdir": workdir_base or tempfile.gettempdir(),
+            "local_dir": local_dir or "spark-default(disk)",
+            "crawl_reps": CRAWL_REPS,
+            "query_reps": QUERY_REPS,
+            "warmup_excluded": True,
+        },
         **extra,
     }
     spark.stop()

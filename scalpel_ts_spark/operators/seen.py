@@ -101,6 +101,7 @@ def bloom_prefilter(
     bits_per_bucket: int = 1 << 17,
     n_funcs: int = 5,
     dedup_by_hash: bool = False,
+    max_rows_per_bucket: int | None = None,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen``; definite-new rows (bloom
     miss) skip the exact anti-join entirely.
@@ -131,6 +132,16 @@ def bloom_prefilter(
     )
 
     def _probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_rows_per_bucket is not None and len(cand_pdf) > max_rows_per_bucket:
+            # one bucket = one task's pandas heap; a silent 100x config
+            # mismatch (huge discovery volume, tiny n_buckets) must
+            # fail loudly, not OOM an executor (round-4 verdict #3)
+            raise ValueError(
+                f"bloom bucket overflow: {len(cand_pdf)} candidate rows in "
+                f"one bucket exceeds max_rows_per_bucket="
+                f"{max_rows_per_bucket}; raise n_buckets (CrawlEngine "
+                f"auto-scales via bloom_target_rows_per_bucket)"
+            )
         if dedup_by_hash and len(cand_pdf):
             cand_pdf = cand_pdf.drop_duplicates(
                 subset=[hash_col], ignore_index=True
@@ -197,6 +208,8 @@ def new_urls(
     hash_col: str = "url_hash",
     persisted_out: list | None = None,
     dedup: bool = False,
+    narrow: bool = False,
+    broadcast_new: bool = True,
     **bloom_kwargs,
 ) -> DataFrame:
     """candidates ∖ seen — exact, with optional bloom prefilter.
@@ -221,11 +234,51 @@ def new_urls(
     pass a list; the internal persisted frame is appended so it can be
     unpersisted after the result is materialized.  One-shot callers may
     omit it (the cache dies with the session).
+
+    ``narrow=True`` (requires blooms + dedup): the bucket cogroup
+    carries ONLY the int64 hash — dedup and bloom probe never touch
+    the URL strings, so the Arrow exchange is 8 bytes/row instead of
+    the full (url, host_id, hash) width (round-4 verdict's top crawl
+    lever: the cogroup was 41%% of crawl wall and the engine's worst
+    1->4-core section, DRAM-bound on string traffic).  Strings are
+    re-attached afterwards by semi-joining the raw candidate frame
+    against the (small, post-dedup, post-anti-join) new-hash set —
+    broadcast when the CALLER's a-priori bound on that set is small
+    (``broadcast_new=True`` — the crawl engine gates on its per-round
+    discovery budget, ~8 links x cap x n_hosts vs 4M rows = 32 MB of
+    8-byte hashes; the same budget-conditional pattern as
+    frontier_anti_join), a shuffle semi-join past it — then deduped
+    with a hash-keyed aggregate
+    whose exchange carries only the genuinely-NEW rows (duplicate
+    in-links included), not the full discovery volume.  min() is the
+    deterministic pick; rows with equal hash are identical anyway
+    (the 64-bit hash is the engine-wide URL identity).
     """
     if blooms is None:
         if dedup:
             candidates = candidates.dropDuplicates([hash_col])
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
+    if narrow:
+        assert dedup, "narrow probe implies hash dedup"
+        keys = candidates.select(hash_col)
+        tagged = bloom_prefilter(
+            keys, blooms, hash_col, dedup_by_hash=True, **bloom_kwargs
+        ).persist()
+        if persisted_out is not None:
+            persisted_out.append(tagged)
+        definite_new = tagged.filter(F.col("maybe_seen") == 0).drop("maybe_seen")
+        suspects = tagged.filter(F.col("maybe_seen") == 1).drop("maybe_seen")
+        checked = suspects.join(seen.select(hash_col), hash_col, "left_anti")
+        new_hashes = definite_new.unionByName(checked)
+        if broadcast_new:
+            new_hashes = F.broadcast(new_hashes)
+        other = [c for c in candidates.columns if c != hash_col]
+        return (
+            candidates.join(new_hashes, hash_col, "left_semi")
+            .groupBy(hash_col)
+            .agg(*[F.min(c).alias(c) for c in other])
+            .select(candidates.columns)
+        )
     tagged = bloom_prefilter(
         candidates, blooms, hash_col, dedup_by_hash=dedup, **bloom_kwargs
     ).persist()

@@ -41,19 +41,47 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
-    # shuffle/spill scratch on tmpfs when available: on a real cluster
-    # every executor spills to ITS OWN local SSDs (a resource that
-    # scales with the cluster), but this sandbox's lone virtio disk is
-    # shared by all 32 "executor" threads — measured as a data-volume-
-    # dependent, non-scaling ~50s drag on a 2M-URL crawl round's dedup
-    # shuffle (BASELINE.md r4).  SPARK_GRAFT_LOCAL_DIR overrides; set
-    # it to /tmp to measure the disk path.
-    local_dir = os.environ.get(
-        "SPARK_GRAFT_LOCAL_DIR",
-        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None,
-    )
+    # shuffle/spill scratch stays on Spark's DISK default: spilling
+    # exists to relieve memory pressure, and redirecting it to tmpfs
+    # puts spill back into RAM — in common environments /dev/shm is
+    # tiny (Docker defaults 64 MB) and a real spill would die with
+    # ENOSPC (round-4 ADVICE, medium).  The bench tools opt into
+    # tmpfs explicitly (see tmpfs_local_dir below) because this
+    # sandbox's lone shared virtio disk injects non-scaling writeback
+    # noise that a per-executor-SSD cluster does not have
+    # (BASELINE.md measurement protocol).  SPARK_GRAFT_LOCAL_DIR
+    # overrides either way.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def tmpfs_local_dir(min_free_gib: int = 16) -> str | None:
+    """tmpfs scratch path for the BENCH TOOLS — or None if unsafe.
+
+    Measurement-protocol opt-in, not a library default: benchmarks on
+    this sandbox redirect shuffle/spill scratch to ``/dev/shm`` so the
+    one shared virtio disk's writeback stalls (a non-scaling,
+    data-volume-dependent ~50s drag on a 2M-URL crawl round's dedup
+    shuffle — BASELINE.md r4) don't pollute scaling/throughput
+    readings; a production cluster spills to per-executor local SSDs,
+    a resource that scales with the cluster, so the disk path here
+    models nothing real.  Sizing assumption: tmpfs spill competes with
+    executor heaps for the SAME DRAM, so this returns None unless
+    /dev/shm has ``min_free_gib`` free — a spill-heavy run must
+    degrade to disk, not OOM.  Callers pass the result via
+    ``extra_conf={"spark.local.dir": ...}``; SPARK_GRAFT_LOCAL_DIR
+    still overrides everything.
+    """
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        return None  # explicit override wins; get_spark applies it
+    try:
+        st = os.statvfs("/dev/shm")
+    except OSError:
+        return None
+    if st.f_bavail * st.f_frsize < min_free_gib * (1 << 30):
+        return None
+    return "/dev/shm/spark-local"

@@ -95,4 +95,12 @@ def test_raw_corpus_recall_floors(spark, emb):
         _recall(exact, lsh_topk(queries, emb, dim=64, k=10, probe_radius=1))
         >= 0.6
     )
+    # IVF's knob is nprobe — parity with LSH's multiprobe gate
+    # (round-4 verdict item 8): doubling nprobe 4->8 measured
+    # 0.51->0.76 at identical index state; floor between the two so a
+    # probe-selection regression (not just a wiring break) trips CI
+    assert (
+        _recall(exact, ivf_topk(queries, emb, k=10, n_cells=16, nprobe=8))
+        >= 0.55
+    )
     exact.unpersist()

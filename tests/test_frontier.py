@@ -84,6 +84,90 @@ def test_bloom_prefilter_is_transparent(spark, tmp_path_factory):
     assert {r.url for r in eng.seen().collect()} == sim.seen
 
 
+def test_narrow_probe_matches_simulator(spark, tmp_path_factory, sim_state):
+    # wide is the engine default (measured faster on this box — see
+    # frontier.py narrow_probe rationale); the narrow shape is the
+    # network-shuffle deploy knob and must stay equal to the
+    # executable spec too
+    wd = str(tmp_path_factory.mktemp("crawl_narrow"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4,
+        narrow_probe=True, write_docs=False,
+    )
+    eng.init(SEEDS)
+    eng.run(ROUNDS)
+    assert _engine_log(eng) == _sim_log(sim_state)
+    assert {r.url for r in eng.seen().collect()} == sim_state.seen
+
+
+def test_narrow_probe_reattach_matches_wide(spark):
+    # hash-only cogroup + string re-attach == wide probe, on both
+    # re-attach paths (broadcast semi-join and shuffle semi-join).
+    # Rows are a pure function of url_hash — the engine-wide premise
+    # (equal hash => identical row) the narrow dedup relies on.
+    import pyspark.sql.functions as F
+
+    from scalpel_ts_spark.operators.seen import build_bloom, new_urls
+
+    key = (F.col("id") % 900)  # duplicate hashes on purpose
+    cand = spark.range(0, 3000).select(
+        F.concat(F.lit("http://h"), (key % 7).cast("string"),
+                 F.lit(".test/p/"), key.cast("string")).alias("url"),
+        (key % 7).alias("host_id"),
+        key.alias("url_hash"),
+    )
+    seen = spark.range(0, 300).select(F.col("id").alias("url_hash"))
+    blooms = build_bloom(seen, n_buckets=8)
+    wide = new_urls(
+        cand, seen, blooms, n_buckets=8, dedup=True
+    ).collect()
+    for bcast in (True, False):
+        narrow = new_urls(
+            cand, seen, blooms, n_buckets=8, dedup=True,
+            narrow=True, broadcast_new=bcast,
+        ).collect()
+        assert sorted(
+            (r.url, r.host_id, r.url_hash) for r in narrow
+        ) == sorted((r.url, r.host_id, r.url_hash) for r in wide)
+
+
+def test_bloom_buckets_autoscale_with_budget(spark, tmp_path_factory):
+    # round-4 verdict #3: bucket count must track expected discovery
+    # volume (8 links x cap x n_hosts), constructor value is a floor
+    wd = str(tmp_path_factory.mktemp("crawl_scalebb"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4,
+        bloom_target_rows_per_bucket=5, write_docs=False,
+    )
+    # ceil(8*8*20 / 5) = 256 buckets, well above the 32 floor
+    assert eng.bloom_buckets == 256
+    eng.init(SEEDS)
+    eng.run(ROUNDS)
+    assert _engine_log(eng) == _sim_log(_sim())
+    # and the 10^10 design point derives >= 512 from the default target
+    big = CrawlEngine(
+        spark, str(tmp_path_factory.mktemp("crawl_bb10")),
+        n_hosts=2_000_000, cap=50, write_docs=False,
+    )
+    assert big.bloom_buckets >= 512
+
+
+def test_bloom_bucket_overflow_guard(spark):
+    # a config mismatch (huge candidate volume into one task's pandas
+    # heap) must raise, not OOM (round-4 verdict #3)
+    import pyspark.sql.functions as F
+
+    from scalpel_ts_spark.operators.seen import bloom_prefilter, build_bloom
+
+    seen = spark.range(0, 10).select(F.col("id").alias("url_hash"))
+    blooms = build_bloom(seen, n_buckets=1)
+    cand = spark.range(0, 5000).select(F.col("id").alias("url_hash"))
+    with pytest.raises(Exception, match="bloom bucket overflow"):
+        bloom_prefilter(
+            cand, blooms, n_buckets=1, max_rows_per_bucket=1000
+        ).count()
+
+
 def test_robots_cache_fetches_each_host_once(spark, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("crawl_robots"))
     eng = CrawlEngine(

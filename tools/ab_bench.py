@@ -48,12 +48,16 @@ def main() -> None:
         build_bloom,
         new_urls,
     )
-    from scalpel_ts_spark.sources.session import get_spark
+    from scalpel_ts_spark.sources.session import get_spark, tmpfs_local_dir
 
     import __spark_entry__ as E
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("ab_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    tmpfs = tmpfs_local_dir()
+    spark = get_spark(
+        "ab_bench", cores=cpus, shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.local.dir": tmpfs} if tmpfs else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     def tbl(name):

@@ -23,8 +23,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 
 
+from scalpel_ts_spark.sources.session import tmpfs_local_dir  # noqa: E402
+
+_TMPFS = tmpfs_local_dir()  # capacity-gated; None => disk
 WORKDIR_BASE = os.environ.get(
-    "BENCH_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    "BENCH_WORKDIR", "/dev/shm" if _TMPFS else None
 )  # tmpfs: same rationale as bench.py / scaling_bench.py (BASELINE.md r4)
 
 
@@ -33,7 +36,10 @@ def main() -> None:
     from scalpel_ts_spark.sources.session import get_spark
     from scalpel_ts_spark.sources.synthetic import make_url
 
-    spark = get_spark("crawl_bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark = get_spark(
+        "crawl_bench", cores=CPUS, shuffle_partitions=max(CPUS, 8),
+        extra_conf={"spark.local.dir": _TMPFS} if _TMPFS else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up (untimed): JVM/codegen/Python-worker spin-up
@@ -43,10 +49,17 @@ def main() -> None:
     weng.run(1)
     shutil.rmtree(warm, ignore_errors=True)
 
+    # CB_NARROW_PROBE=1/0 pins the probe shape for interleaved A/Bs of
+    # the hash-only seen_dedup cogroup; unset = engine default (wide —
+    # see plans/frontier.py narrow_probe rationale)
+    env_narrow = os.environ.get("CB_NARROW_PROBE")
+    probe_kw = (
+        {} if env_narrow is None else {"narrow_probe": env_narrow != "0"}
+    )
     workdir = tempfile.mkdtemp(prefix="cb_crawl_", dir=WORKDIR_BASE)
     eng = CrawlEngine(
         spark, workdir, n_hosts=200, cap=512, refill=256,
-        salt_buckets=16, write_docs=True,
+        salt_buckets=16, write_docs=True, **probe_kw,
     )
     eng.init([make_url(h, p) for h in range(200) for p in range(25)])
     t0 = time.time()
@@ -66,6 +79,8 @@ def main() -> None:
         "sections": sections,
         "cpus": CPUS,
         "rounds": ROUNDS,
+        "workdir": WORKDIR_BASE or tempfile.gettempdir(),
+        "narrow_probe": eng.narrow_probe,
     }))
 
 

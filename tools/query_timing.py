@@ -31,9 +31,13 @@ NAMES = sys.argv[3:] or ["url_canonicalize"]
 
 
 def main() -> None:
-    from scalpel_ts_spark.sources.session import get_spark
+    from scalpel_ts_spark.sources.session import get_spark, tmpfs_local_dir
 
-    spark = get_spark("query-timing", cores=32, shuffle_partitions=32)
+    tmpfs = tmpfs_local_dir()
+    spark = get_spark(
+        "query-timing", cores=32, shuffle_partitions=32,
+        extra_conf={"spark.local.dir": tmpfs} if tmpfs else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E

@@ -54,8 +54,11 @@ ROUNDS = 1
 # its writeback stalls showed up as 40% run-to-run swings on the
 # 4N side only — tmpfs isolates the ENGINE's scaling from the box's
 # one disk.  Overridable for durability-focused runs.
+from scalpel_ts_spark.sources.session import tmpfs_local_dir  # noqa: E402
+
+_TMPFS = tmpfs_local_dir()  # None unless /dev/shm has real headroom
 WORKDIR_BASE = os.environ.get(
-    "SCALING_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    "SCALING_WORKDIR", "/dev/shm" if _TMPFS else None
 )
 # N and 4N parallelism levels.  Default 2 vs 8: on this single-box
 # sandbox, Python-parse-heavy work saturates shared memory bandwidth
@@ -83,8 +86,10 @@ def child(cores: int) -> None:
     # 4g fixed (driver role) + 4g per core models "every executor
     # brings its own memory", the north rule's multi-executor premise.
     os.environ["SPARK_DRIVER_MEM"] = f"{4 + 4 * cores}g"
-    spark = get_spark(f"scaling-{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+    spark = get_spark(
+        f"scaling-{cores}", cores=cores, shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.local.dir": _TMPFS} if _TMPFS else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: tiny crawl exercises every code path once
@@ -136,11 +141,20 @@ def _run_child(cores: int) -> dict:
     # 1.1 to 0.35 depending on host load.  A real cluster executor is
     # cgroup-capped to its core count, which taskset reproduces; with
     # the pin, per-pair efficiencies are stable across host regimes.
-    out = subprocess.run(
-        ["taskset", "-c", f"0-{cores - 1}",
-         sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-        capture_output=True, text=True, timeout=3600,
-    )
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", str(cores)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    else:
+        # non-Linux / minimal image: run unpinned rather than crash
+        # with a bare FileNotFoundError (round-4 ADVICE).  Results are
+        # then subject to the slot-vs-CPU caveat documented above.
+        print(
+            "scaling_bench: WARNING taskset not found — running UNPINNED; "
+            "local[N] caps task slots, not CPU, so efficiencies will be "
+            "host-load-dependent",
+            file=sys.stderr,
+        )
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     line = out.stdout.strip().splitlines()[-1]
     print(line, file=sys.stderr)
     return json.loads(line)
@@ -168,6 +182,8 @@ def main() -> None:
     print(json.dumps({
         "job": f"crawl macro-round, {N_HOSTS * PAGES_PER_HOST}-URL frontier",
         "pairs": pairs,
+        "pinned": bool(shutil.which("taskset")),
+        "workdir": WORKDIR_BASE or tempfile.gettempdir(),
         f"local{CORES_N}_urls_per_sec": thr[CORES_N],
         f"local{CORES_4N}_urls_per_sec": thr[CORES_4N],
         "pair_efficiencies": per_pair,
