@@ -209,6 +209,7 @@ def new_urls(
     persisted_out: list | None = None,
     dedup: bool = False,
     narrow: bool = False,
+    preagg: bool = False,
     broadcast_new: bool = True,
     **bloom_kwargs,
 ) -> DataFrame:
@@ -253,11 +254,31 @@ def new_urls(
     in-links included), not the full discovery volume.  min() is the
     deterministic pick; rows with equal hash are identical anyway
     (the 64-bit hash is the engine-wide URL identity).
+
+    ``preagg=True`` (requires dedup): dedup runs as a JVM hash
+    aggregate (``groupBy(hash).agg(min(*))``) BEFORE the bucket
+    cogroup instead of inside it.  Two exchanges instead of one, but
+    both cheaper: the aggregate's map-side partial combine removes
+    intra-partition duplicate links before anything is exchanged
+    (strings ride JVM tungsten rows, never Arrow), and the cogroup
+    then ships only DISTINCT URLs — the Arrow volume shrinks by the
+    crawl's duplication factor (avg in-degree, ~4-8x on link graphs).
+    min() is deterministic; rows with equal hash are identical (the
+    64-bit hash is the engine-wide URL identity).
     """
     if blooms is None:
         if dedup:
             candidates = candidates.dropDuplicates([hash_col])
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
+    if preagg:
+        assert dedup and not narrow, "preagg is a standalone dedup strategy"
+        other = [c for c in candidates.columns if c != hash_col]
+        candidates = (
+            candidates.groupBy(hash_col)
+            .agg(*[F.min(c).alias(c) for c in other])
+            .select(candidates.columns)
+        )
+        dedup = False  # already exact-deduped; cogroup probes only
     if narrow:
         assert dedup, "narrow probe implies hash dedup"
         keys = candidates.select(hash_col)

@@ -233,7 +233,10 @@ class CrawlEngine:
         #: multi-executor cluster the bucket exchange is NETWORK: 8 B
         #: vs ~100 B per discovered link is a ~10x traffic cut, so the
         #: flag is the deploy-time knob for network-bound shuffles
-        #: (results are identical either way — equality-tested).
+        #: (results are identical either way — equality-tested).  A
+        #: third shape, JVM pre-aggregate dedup (new_urls(preagg=True),
+        #: map-side partial combine before a probe-only cogroup), was
+        #: also measured: beats narrow, still loses to wide here.
         self.narrow_probe = narrow_probe
         self.write_docs = write_docs
         self.compact_every = compact_every

@@ -100,9 +100,9 @@ def test_narrow_probe_matches_simulator(spark, tmp_path_factory, sim_state):
     assert {r.url for r in eng.seen().collect()} == sim_state.seen
 
 
-def test_narrow_probe_reattach_matches_wide(spark):
-    # hash-only cogroup + string re-attach == wide probe, on both
-    # re-attach paths (broadcast semi-join and shuffle semi-join).
+def test_probe_variants_match_wide(spark):
+    # hash-only cogroup + string re-attach (both re-attach paths) and
+    # JVM pre-aggregate dedup == the wide fused probe.
     # Rows are a pure function of url_hash — the engine-wide premise
     # (equal hash => identical row) the narrow dedup relies on.
     import pyspark.sql.functions as F
@@ -121,14 +121,19 @@ def test_narrow_probe_reattach_matches_wide(spark):
     wide = new_urls(
         cand, seen, blooms, n_buckets=8, dedup=True
     ).collect()
-    for bcast in (True, False):
-        narrow = new_urls(
-            cand, seen, blooms, n_buckets=8, dedup=True,
-            narrow=True, broadcast_new=bcast,
+    expected = sorted((r.url, r.host_id, r.url_hash) for r in wide)
+    variants = [
+        {"narrow": True, "broadcast_new": True},
+        {"narrow": True, "broadcast_new": False},
+        {"preagg": True},
+    ]
+    for kw in variants:
+        got = new_urls(
+            cand, seen, blooms, n_buckets=8, dedup=True, **kw
         ).collect()
         assert sorted(
-            (r.url, r.host_id, r.url_hash) for r in narrow
-        ) == sorted((r.url, r.host_id, r.url_hash) for r in wide)
+            (r.url, r.host_id, r.url_hash) for r in got
+        ) == expected, kw
 
 
 def test_bloom_buckets_autoscale_with_budget(spark, tmp_path_factory):

@@ -11,7 +11,12 @@ discovers mostly-seen links (the narrow path's string exchange
 shrinks by the seen fraction while the wide path still ships every
 string through Arrow).
 
-Usage: python tools/probe_ab.py [n_rows] [seen_frac] [reps]
+Three variants: wide (fused in-cogroup dedup, r4 engine default),
+narrow (hash-only cogroup + string re-attach), preagg (JVM map-side
+partial-combine dedup BEFORE a probe-only cogroup — Arrow volume
+shrinks by the duplication factor).
+
+Usage: python tools/probe_ab.py [n_rows] [seen_frac] [reps] [dup_factor]
 Prints one JSON line with per-variant rep walls + medians.
 """
 
@@ -33,8 +38,8 @@ from scalpel_ts_spark.sources.session import get_spark, tmpfs_local_dir
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 SEEN_FRAC = float(sys.argv[2]) if len(sys.argv) > 2 else 0.6
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+DUP_FACTOR = int(sys.argv[4]) if len(sys.argv) > 4 else 4  # avg in-degree
 N_BUCKETS = 32
-DUP_FACTOR = 4  # avg in-links per distinct URL
 
 
 def main() -> None:
@@ -68,12 +73,12 @@ def main() -> None:
     blooms = build_bloom(seen, n_buckets=N_BUCKETS).persist()
     blooms.count()
 
-    def run(narrow: bool) -> float:
+    def run(**kw) -> float:
         t0 = time.time()
         caches: list = []
         n = new_urls(
             cand, seen, blooms, n_buckets=N_BUCKETS, dedup=True,
-            narrow=narrow, persisted_out=caches,
+            persisted_out=caches, **kw,
         ).count()
         dt = time.time() - t0
         for c in caches:
@@ -81,17 +86,24 @@ def main() -> None:
         assert n == n_distinct - n_seen, (n, n_distinct - n_seen)
         return round(dt, 3)
 
-    run(False), run(True)  # warm both paths, untimed
-    walls = {"wide": [], "narrow": []}
+    variants = {
+        "wide": {},
+        "narrow": {"narrow": True},
+        "preagg": {"preagg": True},
+    }
+    for kw in variants.values():  # warm every path, untimed
+        run(**kw)
+    walls: dict[str, list[float]] = {v: [] for v in variants}
     for _ in range(REPS):
-        walls["wide"].append(run(False))
-        walls["narrow"].append(run(True))
-    print(json.dumps({
-        "n_rows": N_ROWS, "seen_frac": SEEN_FRAC,
-        "wide": walls["wide"], "narrow": walls["narrow"],
-        "wide_median": round(statistics.median(walls["wide"]), 3),
-        "narrow_median": round(statistics.median(walls["narrow"]), 3),
-    }))
+        for v, kw in variants.items():  # interleaved
+            walls[v].append(run(**kw))
+    out: dict = {
+        "n_rows": N_ROWS, "seen_frac": SEEN_FRAC, "dup_factor": DUP_FACTOR,
+    }
+    for v in variants:
+        out[v] = walls[v]
+        out[f"{v}_median"] = round(statistics.median(walls[v]), 3)
+    print(json.dumps(out))
     spark.stop()
 
 
