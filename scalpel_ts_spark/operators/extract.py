@@ -290,29 +290,61 @@ def crawl_extract_udf(link_scraper: Optional[Scraper] = None):
 
     @F.pandas_udf(CRAWL_EXTRACT_SCHEMA)
     def _udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-        spans_out, links_out, title_out = [], [], []
-        for u, doc in zip(url, html):
-            if doc is None:
-                spans_out.append(None)
-                links_out.append(None)
-                title_out.append(None)
-                continue
-            spans, raw_links, title = crawl_extract_tokens(parse(doc))
-            # absolute links (the overwhelming majority of crawl
-            # discoveries) skip urllib's parse/unparse round-trip —
-            # urljoin(base, absolute) is the identity
-            links = [
-                link
-                if link.startswith(("http://", "https://"))
-                else urljoin(u, link)
-                for link in raw_links
-            ]
-            spans_out.append(spans)
-            links_out.append(links)
-            title_out.append(None if title is NOTHING else title)
-        return pd.DataFrame(
-            {"spans": spans_out, "links": links_out, "title": title_out}
-        )
+        return _extract_batch(url, html)
+
+    return _udf
+
+
+def _extract_batch(url: pd.Series, html) -> pd.DataFrame:
+    """One Arrow batch through the fused flat pass (shared by the
+    two-stage and fetch-fused UDFs — identical semantics by
+    construction)."""
+    spans_out, links_out, title_out = [], [], []
+    for u, doc in zip(url, html):
+        if doc is None:
+            spans_out.append(None)
+            links_out.append(None)
+            title_out.append(None)
+            continue
+        spans, raw_links, title = crawl_extract_tokens(parse(doc))
+        # absolute links (the overwhelming majority of crawl
+        # discoveries) skip urllib's parse/unparse round-trip —
+        # urljoin(base, absolute) is the identity
+        links = [
+            link
+            if link.startswith(("http://", "https://"))
+            else urljoin(u, link)
+            for link in raw_links
+        ]
+        spans_out.append(spans)
+        links_out.append(links)
+        title_out.append(None if title is NOTHING else title)
+    return pd.DataFrame(
+        {"spans": spans_out, "links": links_out, "title": title_out}
+    )
+
+
+def fused_fetch_extract_udf(fetch_fn):
+    """url -> struct(spans, links, title): fetch AND parse inside one
+    Python worker call.
+
+    Chaining ``fetch_udf`` and ``crawl_extract_udf`` evaluates as two
+    ArrowEvalPython stages (the second consumes the first's output),
+    so every document body crosses the JVM<->Python boundary twice —
+    serialized out of the fetch UDF and back into the extract UDF —
+    even though the engine drops ``html`` immediately after
+    extraction.  Fusing them means bodies are produced and consumed
+    inside the same worker process and only the ~10x-smaller extract
+    struct rides Arrow.  This is also the production shape: a real
+    deployment composes the parser into its fetch stage the same way
+    (see ``http_fetch_stage``'s ``extract`` hook) so multi-KB bodies
+    never hit the exchange.  ``fetch_fn``: url -> html string (the
+    synthetic web's ``html_for_url`` in the sandbox).
+    """
+
+    @F.pandas_udf(CRAWL_EXTRACT_SCHEMA)
+    def _udf(url: pd.Series) -> pd.DataFrame:
+        return _extract_batch(url, url.map(fetch_fn))
 
     return _udf
 

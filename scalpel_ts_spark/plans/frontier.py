@@ -48,13 +48,16 @@ from pyspark.sql import functions as F
 
 from scalpel_ts_spark.functions.robots import robots_filter_stage
 from scalpel_ts_spark.functions.url import canonicalize_url, url_hash
-from scalpel_ts_spark.operators.extract import crawl_extract_udf
+from scalpel_ts_spark.operators.extract import (
+    crawl_extract_udf,
+    fused_fetch_extract_udf,
+)
 from scalpel_ts_spark.operators.seen import build_bloom, new_urls, update_bloom
 from scalpel_ts_spark.operators.topk import topk_per_group
 from scalpel_ts_spark.plans.storage import ParquetSnapshotStorage, SnapshotStorage
 from scalpel_ts_spark.sources.synthetic import (
     fetch_robots_rules,
-    fetch_udf,
+    html_for_url,
     host_id_col,
     page_id_col,
     seq_col,
@@ -608,9 +611,7 @@ class CrawlEngine:
             with_html = self.fetch_stage(candidates)
             has_err = "fetch_error" in with_html.columns
         else:
-            with_html = candidates.repartition(
-                par, "host_id", "url_hash"
-            ).withColumn("html", fetch_udf(self.n_hosts)(F.col("url")))
+            with_html = None
         # failed fetches are NOT fetched: excluded from docs/fetch_log/
         # seen and host tokens unspent — but their url_hashes are kept
         # as DATA (not just a count) so the frontier update below can
@@ -622,17 +623,33 @@ class CrawlEngine:
         # with their status) but their bodies are CONTENT-FILTERED out
         # of the docs corpus and link discovery — a custom 404 page is
         # neither training data nor a link source
-        has_status = "status" in with_html.columns
-        keep_cols = list(candidates.columns) + (
-            ["status"] if has_status else []
-        ) + (["fetch_error"] if has_err else [])
-        fetched_all = (
-            with_html.withColumn(
+        if with_html is not None:
+            has_status = "status" in with_html.columns
+            keep_cols = list(candidates.columns) + (
+                ["status"] if has_status else []
+            ) + (["fetch_error"] if has_err else [])
+            extracted = with_html.withColumn(
                 "ex", crawl_extract_udf()(F.col("url"), F.col("html"))
             )
-            .select(*keep_cols, "ex")
-            .persist()
-        )
+        else:
+            # synthetic fetch: fuse fetch+parse into ONE Python worker
+            # call so multi-KB document bodies never cross the Arrow
+            # boundary — only the ~10x-smaller extract struct rides
+            # back to the JVM (two chained pandas UDFs would ship each
+            # body JVM->Python->JVM->Python; see fused_fetch_extract_
+            # udf's docstring and the A/B in BASELINE.md r5)
+            has_status = False
+            keep_cols = list(candidates.columns)
+            n_hosts = self.n_hosts
+            extracted = candidates.repartition(
+                par, "host_id", "url_hash"
+            ).withColumn(
+                "ex",
+                fused_fetch_extract_udf(
+                    lambda u: html_for_url(u, n_hosts)
+                )(F.col("url")),
+            )
+        fetched_all = extracted.select(*keep_cols, "ex").persist()
         err = (
             F.col("fetch_error").isNotNull() if has_err else F.lit(False)
         )

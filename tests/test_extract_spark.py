@@ -164,3 +164,30 @@ def test_tag_signature_prefilter(spark):
     sig = with_tag_signature(df)
     kept = sig.filter(selector_prefilter(Sel.tag("h2"))).collect()
     assert [r.doc_id for r in kept] == [0]
+
+
+def test_fused_fetch_extract_matches_two_stage(spark):
+    """fused fetch+parse UDF == fetch_udf |> crawl_extract_udf on the
+    same URLs (bodies never cross Arrow in the fused path; semantics
+    must be bit-identical by construction — both call _extract_batch)."""
+    from scalpel_ts_spark.operators.extract import fused_fetch_extract_udf
+
+    urls = [make_url(h, p) for h in range(5) for p in range(8)]
+    # include a URL the synthetic web 404s on (parse_url_ids -> None)
+    urls.append("http://h0.test/not-a-page")
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    fused = {
+        r.url: r.ex.asDict()
+        for r in df.withColumn(
+            "ex", fused_fetch_extract_udf(html_for_url)(F.col("url"))
+        ).collect()
+    }
+    two_stage = {
+        r.url: r.ex.asDict()
+        for r in df.withColumn("html", F.udf(html_for_url)("url"))
+        .withColumn("ex", crawl_extract_udf()(F.col("url"), F.col("html")))
+        .drop("html")
+        .collect()
+    }
+    assert fused == two_stage
+    assert len(fused) == len(urls)
