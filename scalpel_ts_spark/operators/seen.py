@@ -47,6 +47,30 @@ _PROBE_SCHEMA = StructType(
 )
 
 
+def bloom_bits_for(
+    n_keys: int,
+    n_buckets: int,
+    bits_per_key: int = 10,
+    floor: int = 1 << 17,
+) -> int:
+    """Per-bucket bitmap size (bits, power of two) for an expected key
+    count.
+
+    ~10 bits/key keeps a bloom's false-positive rate ~1%; a bitmap
+    sized far below that saturates (FP -> 100%) and the anti-join
+    bypass silently stops bypassing anything — still CORRECT (the
+    exact anti-join is always the authority) but the whole discovery
+    volume then rides the expensive exchange.  Callers pass the key
+    count they expect the seen set to reach before the next rebuild
+    (the crawl engine resizes at every compaction, where the full
+    seen set is rewritten anyway)."""
+    want = max(floor, (bits_per_key * max(1, n_keys)) // max(1, n_buckets))
+    bits = floor
+    while bits < want:
+        bits <<= 1
+    return bits
+
+
 def _positions(hashes: np.ndarray, m_bits: int, n_funcs: int):
     """k derived hash positions per key (double hashing on xxhash64)."""
     h1 = hashes.astype(np.uint64)
@@ -154,7 +178,11 @@ def bloom_prefilter(
             )
         arr = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8)
         h = cand_pdf[hash_col].to_numpy(dtype=np.int64)
-        hit = _probe_bits(arr, h, bits_per_bucket, n_funcs)
+        # bitmap size is SELF-DESCRIBING (derived from the stored
+        # bytes, not the config param): the engine resizes bitmaps at
+        # compaction rebuilds, and a resumed/mid-resize probe must
+        # test against each bucket's actual geometry
+        hit = _probe_bits(arr, h, len(arr) * 8, n_funcs)
         return cand_pdf.assign(maybe_seen=hit.astype(np.int32))
 
     cg = with_bucket.groupBy("_bucket").cogroup(
@@ -189,7 +217,10 @@ def update_bloom(
             bucket = int(delta_pdf["_bucket"].iloc[0])
         if len(delta_pdf) > 0:
             hashes = delta_pdf["url_hash"].to_numpy(dtype=np.int64)
-            for pos in _positions(hashes, bits_per_bucket, n_funcs):
+            # existing bitmaps keep their own geometry (self-describing
+            # — see bloom_prefilter); the param sizes only brand-new
+            # buckets
+            for pos in _positions(hashes, len(bits) * 8, n_funcs):
                 np.bitwise_or.at(
                     bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
                 )

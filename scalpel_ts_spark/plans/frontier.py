@@ -52,7 +52,12 @@ from scalpel_ts_spark.operators.extract import (
     crawl_extract_udf,
     fused_fetch_extract_udf,
 )
-from scalpel_ts_spark.operators.seen import build_bloom, new_urls, update_bloom
+from scalpel_ts_spark.operators.seen import (
+    bloom_bits_for,
+    build_bloom,
+    new_urls,
+    update_bloom,
+)
 from scalpel_ts_spark.operators.topk import topk_per_group
 from scalpel_ts_spark.plans.storage import ParquetSnapshotStorage, SnapshotStorage
 from scalpel_ts_spark.sources.synthetic import (
@@ -153,6 +158,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_buckets: int = 32,
         bloom_target_rows_per_bucket: int = 1_000_000,
+        bloom_bits_per_key: int = 10,
         narrow_probe: bool = False,
         write_docs: bool = True,
         compact_every: int = 8,
@@ -241,6 +247,20 @@ class CrawlEngine:
         #: map-side partial combine before a probe-only cogroup), was
         #: also measured: beats narrow, still loses to wide here.
         self.narrow_probe = narrow_probe
+        #: bloom bitmap sizing: ~10 bits/key => ~1% FP.  Bitmaps are
+        #: sized at init from the SEED count (x4 growth headroom) and
+        #: RE-SIZED + rebuilt at every compaction from the tracked seen
+        #: count — a fixed bitmap would saturate as the crawl grows
+        #: (at 4M seen keys the old fixed 2^17 bits/bucket ran at
+        #: ~1 bit/key, FP ~100%, so the whole discovery volume rode
+        #: the exact anti-join and the bloom bypassed nothing).
+        #: Saturation between compactions only degrades FP (the exact
+        #: anti-join stays the authority); the next rebuild restores
+        #: the budget.  Memory: seen_rows x bits_per_key x 4 bits
+        #: total, spread over bloom_buckets partition-owned rows.
+        self.bloom_bits_per_key = bloom_bits_per_key
+        self._bloom_bits = 1 << 17  # re-derived at init()/compaction
+        self._seen_rows = 0
         self.write_docs = write_docs
         self.compact_every = compact_every
         self.storage = storage or ParquetSnapshotStorage(spark, workdir)
@@ -272,6 +292,7 @@ class CrawlEngine:
             "use_bloom": self.use_bloom,
             "bloom_buckets": self.bloom_buckets,
             "bloom_target_rows_per_bucket": self.bloom_target_rows_per_bucket,
+            "bloom_bits_per_key": self.bloom_bits_per_key,
             "narrow_probe": self.narrow_probe,
             "compact_every": self.compact_every,
             "max_fetch_retries": self.max_fetch_retries,
@@ -353,7 +374,18 @@ class CrawlEngine:
             url_hash(F.col("url")).alias("url_hash"),
             F.lit(0).alias("fails"),  # fetch-retry count (bounded)
         )
-        self._write(frontier, "frontier", 0)
+        # the seed count rides the frontier write as an Observation
+        # (no separate count job): it seeds the arithmetic row
+        # trackers AND sizes the bloom bitmaps below
+        seed_obs = Observation()
+        self._write(
+            frontier.observe(seed_obs, F.count(F.lit(1)).alias("n")),
+            "frontier",
+            0,
+        )
+        n_seeds = _obs_count(seed_obs, "n")
+        self._frontier_rows = n_seeds
+        self._seen_rows = n_seeds
         self._write(frontier.select("url", "url_hash"), "seen", 0)
         self._write_per_host(
             self.spark.createDataFrame([], "host_id long, tokens int"),
@@ -374,15 +406,27 @@ class CrawlEngine:
             self.spark.createDataFrame([], robots_schema), "robots", 0
         )
         if self.use_bloom:
+            # bitmaps sized for the seed set x4 growth headroom
+            # (~bits_per_key bits/key => ~1% FP until the seen set
+            # quadruples; the compaction rebuild below re-sizes)
+            self._bloom_bits = bloom_bits_for(
+                4 * n_seeds, self.bloom_buckets, self.bloom_bits_per_key
+            )
             self._write(
-                build_bloom(frontier, n_buckets=self.bloom_buckets), "bloom", 0
+                build_bloom(
+                    frontier,
+                    n_buckets=self.bloom_buckets,
+                    bits_per_bucket=self._bloom_bits,
+                ),
+                "bloom",
+                0,
             )
         self.round = 0
-        self._frontier_rows = None  # re-count on the next round: a
-        # re-initialized engine must not size tasks from a stale crawl
         self._host_rows = 0
         self.manifest["rounds"] = []
         self.manifest["seen_full_rounds"] = [0]
+        self.manifest["seen_rows"] = self._seen_rows
+        self.manifest["bloom_bits"] = self._bloom_bits
         self._save_manifest()
 
     @classmethod
@@ -418,6 +462,12 @@ class CrawlEngine:
         eng._host_rows = sum(
             m.get("robots_cache_misses", 0) for m in manifest["rounds"]
         )
+        # bloom sizing state: bitmaps on disk are self-describing (the
+        # probe derives each bucket's geometry from its stored bytes),
+        # so these only steer FUTURE rebuilds; older manifests without
+        # the keys resume at the construction defaults
+        eng._seen_rows = manifest.get("seen_rows", 0)
+        eng._bloom_bits = manifest.get("bloom_bits", eng._bloom_bits)
         return eng
 
     # --- production robots helpers -----------------------------------------
@@ -976,6 +1026,10 @@ class CrawlEngine:
         # so it gets its own section: 'commit' below is pure snapshot-
         # write cost, comparable round-to-round
         _mark("seen_dedup")
+        # the n_new observation fired with the seen write above; the
+        # tracked seen count sizes the compaction bloom rebuild below
+        n_new = _obs_count(n_new_obs, "n_new")
+        self._seen_rows += n_new
         kept_obs = None
         frontier_df = next_frontier
         if has_err and n_errors > 0:
@@ -995,18 +1049,47 @@ class CrawlEngine:
             )
         )
         if self.use_bloom:
-            # incremental: OR this round's new hashes into the previous
-            # bitmaps partition-locally — never rescans seen history;
-            # bitmap rows are ~bits/8 bytes each, pack ~64 MB per file
+            want_bits = bloom_bits_for(
+                4 * self._seen_rows, self.bloom_buckets,
+                self.bloom_bits_per_key,
+            )
+            # upward-only: the seen set never shrinks, so a smaller
+            # want_bits can only mean lost tracking (e.g. a resumed
+            # pre-sizing manifest) — keep the larger on-disk geometry
+            if compacted and want_bits > self._bloom_bits:
+                # compaction-time RESIZE: the full seen snapshot was
+                # just rewritten (line above), so rebuilding bitmaps at
+                # the new geometry is one clean scan of that parquet —
+                # no recompute of the dedup pipeline.  Without this a
+                # fixed bitmap saturates as the crawl grows (at 4M seen
+                # keys the old fixed 2^17 bits ran ~1 bit/key, FP~100%,
+                # and the bloom bypassed nothing).
+                self._bloom_bits = want_bits
+                bloom_df = build_bloom(
+                    self._read("seen", nxt),
+                    n_buckets=self.bloom_buckets,
+                    bits_per_bucket=self._bloom_bits,
+                )
+            else:
+                # incremental: OR this round's new hashes into the
+                # previous bitmaps partition-locally — never rescans
+                # seen history (existing bitmaps keep their stored
+                # geometry; the param only sizes brand-new buckets)
+                bloom_df = update_bloom(
+                    blooms, fresh.select("url_hash"),
+                    n_buckets=self.bloom_buckets,
+                    bits_per_bucket=self._bloom_bits,
+                )
+            # bitmap rows are ~bits/8 bytes each; pack ~64 MB per file
+            # at whatever geometry the bitmaps currently have
             writes.append(
                 (
                     _coalesce_for_write(
-                        update_bloom(
-                            blooms, fresh.select("url_hash"),
-                            n_buckets=self.bloom_buckets,
-                        ),
+                        bloom_df,
                         self.bloom_buckets,
-                        rows_per_file=4096,
+                        rows_per_file=max(
+                            1, (64 << 20) // max(1, self._bloom_bits // 8)
+                        ),
                     ),
                     "bloom",
                 )
@@ -1030,7 +1113,6 @@ class CrawlEngine:
             # marking it earlier would let a failed-then-retried round
             # treat a mere delta as the entire seen set
             self.manifest.setdefault("seen_full_rounds", [0]).append(nxt)
-        n_new = _obs_count(n_new_obs, "n_new")
         n_denied = (
             _obs_count(denied_obs, "n_denied") if denied_obs is not None else 0
         )
@@ -1066,6 +1148,8 @@ class CrawlEngine:
         if denied_obs is not None:
             metrics["robots_denied"] = n_denied
         self.manifest["rounds"].append(metrics)
+        self.manifest["seen_rows"] = self._seen_rows
+        self.manifest["bloom_bits"] = self._bloom_bits
         self.round = nxt
         self._save_manifest()
         return metrics

@@ -230,6 +230,40 @@ def test_seen_compaction_bounds_delta_chain(spark, tmp_path_factory, sim_state):
     assert eng2.round - base < 2
 
 
+def test_bloom_resizes_at_compaction(spark, tmp_path_factory, sim_state):
+    # bitmaps are sized from the seed count at init and RE-SIZED +
+    # rebuilt from the full snapshot at compaction as the seen set
+    # grows (a fixed bitmap saturates: at 4M seen keys the old fixed
+    # 2^17 bits ran ~1 bit/key, FP ~100%, bloom bypassed nothing).
+    # bits_per_key is cranked so this small crawl crosses the 2^17
+    # floor the way a 4M-URL crawl does at the default 10 bits/key.
+    wd = str(tmp_path_factory.mktemp("crawl_bloomresize"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4,
+        compact_every=2, bloom_bits_per_key=50_000, write_docs=False,
+    )
+    eng.init(SEEDS)
+    assert eng._bloom_bits == 1 << 17  # 3 seeds: floor geometry
+    eng.run(2)  # round 2 compacts -> resize
+    grown = eng._bloom_bits
+    assert grown > 1 << 17
+    assert eng.manifest["bloom_bits"] == grown
+    # on-disk bitmaps carry the new geometry (probe derives size from
+    # stored bytes, so this is the size the next round actually tests)
+    sizes = {
+        len(r.bits) * 8 for r in eng._read("bloom", 2).collect()
+    }
+    assert sizes == {grown}
+    # resize is transparent: resumed tail still equals the simulator,
+    # and resume restores the sizing state
+    eng2 = CrawlEngine.resume(spark, wd)
+    assert eng2._bloom_bits == grown
+    assert eng2._seen_rows == eng._seen_rows > 0
+    eng2.run(ROUNDS - 2)
+    assert _engine_log(eng2) == _sim_log(sim_state)
+    assert {r.url for r in eng2.seen().collect()} == sim_state.seen
+
+
 def _synthetic_http(url):
     # FetchFn over the same deterministic web as the default fetcher
     from scalpel_ts_spark.sources.synthetic import html_for_url
