@@ -1056,17 +1056,26 @@ class CrawlEngine:
             # upward-only: the seen set never shrinks, so a smaller
             # want_bits can only mean lost tracking (e.g. a resumed
             # pre-sizing manifest) — keep the larger on-disk geometry
-            if compacted and want_bits > self._bloom_bits:
-                # compaction-time RESIZE: the full seen snapshot was
-                # just rewritten (line above), so rebuilding bitmaps at
-                # the new geometry is one clean scan of that parquet —
-                # no recompute of the dedup pipeline.  Without this a
-                # fixed bitmap saturates as the crawl grows (at 4M seen
-                # keys the old fixed 2^17 bits ran ~1 bit/key, FP~100%,
-                # and the bloom bypassed nothing).
+            if want_bits > self._bloom_bits:
+                # RESIZE + rebuild: without this a fixed bitmap
+                # saturates as the crawl grows (at 4M seen keys the
+                # old fixed 2^17 bits ran ~1 bit/key, FP~100%, and the
+                # bloom bypassed nothing — the whole discovery volume
+                # rode the exact anti-join it exists to bypass).  The
+                # rebuild scans the full seen set: the just-rewritten
+                # compacted snapshot when this round compacted, else
+                # the bounded snapshot+delta union.  The x4 sizing
+                # headroom means this fires only when the seen set has
+                # QUADRUPLED past the last sizing — O(log growth)
+                # rebuilds over a whole crawl, each one seen-scan.
                 self._bloom_bits = want_bits
+                rebuild_src = (
+                    self._read("seen", nxt)
+                    if compacted
+                    else self._seen_union(nxt)
+                )
                 bloom_df = build_bloom(
-                    self._read("seen", nxt),
+                    rebuild_src,
                     n_buckets=self.bloom_buckets,
                     bits_per_bucket=self._bloom_bits,
                 )

@@ -230,21 +230,26 @@ def test_seen_compaction_bounds_delta_chain(spark, tmp_path_factory, sim_state):
     assert eng2.round - base < 2
 
 
-def test_bloom_resizes_at_compaction(spark, tmp_path_factory, sim_state):
+def test_bloom_resizes_as_seen_grows(spark, tmp_path_factory, sim_state):
     # bitmaps are sized from the seed count at init and RE-SIZED +
-    # rebuilt from the full snapshot at compaction as the seen set
-    # grows (a fixed bitmap saturates: at 4M seen keys the old fixed
+    # rebuilt as the seen set outgrows them — from the snapshot+delta
+    # union on ordinary rounds, from the full snapshot on compaction
+    # rounds (a fixed bitmap saturates: at 4M seen keys the old fixed
     # 2^17 bits ran ~1 bit/key, FP ~100%, bloom bypassed nothing).
     # bits_per_key is cranked so this small crawl crosses the 2^17
-    # floor the way a 4M-URL crawl does at the default 10 bits/key.
+    # floor the way a 4M-URL crawl does at the default 10 bits/key:
+    # seen is 19 after round 1 (union-path resize), 95 after the
+    # compacting round 2 (snapshot-path rebuild).
     wd = str(tmp_path_factory.mktemp("crawl_bloomresize"))
     eng = CrawlEngine(
         spark, wd, n_hosts=N_HOSTS, cap=8, refill=4,
-        compact_every=2, bloom_bits_per_key=50_000, write_docs=False,
+        compact_every=2, bloom_bits_per_key=100_000, write_docs=False,
     )
     eng.init(SEEDS)
     assert eng._bloom_bits == 1 << 17  # 3 seeds: floor geometry
-    eng.run(2)  # round 2 compacts -> resize
+    eng.run(1)  # non-compaction round: union-path resize
+    assert eng._bloom_bits > 1 << 17
+    eng.run(1)  # round 2 compacts: snapshot-path rebuild
     grown = eng._bloom_bits
     assert grown > 1 << 17
     assert eng.manifest["bloom_bits"] == grown
