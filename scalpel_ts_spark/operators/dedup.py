@@ -434,9 +434,18 @@ def connected_components(
       (silently returning intermediate labels would split clusters).
 
     Both methods are deterministic (labels are data — min ids — never
-    scheduling order) and produce identical output.  The returned
-    frame is persisted (its lineage is the whole iteration);
-    loop-callers pass ``persisted_out`` to unpersist it after use.
+    scheduling order) and produce identical output.  Every iteration
+    ends in an eager ``localCheckpoint`` — exactly like the star path —
+    because a lazily-``persist``-ed label frame is a trap: the
+    convergence probe's ``limit(1).count()`` may materialize only a
+    slice of the cache, so unpersisting the predecessor re-opens the
+    whole join chain for recompute, and the un-truncated logical plan
+    grows by one join per iteration until Catalyst analysis dominates
+    wall time (measured: 60-vertex graph, 194 s and a driver OOM under
+    heap pressure; checkpointed, ~10 s).  The checkpoint is one
+    bounded job per iteration over (v, c) pairs — the iteration's
+    required materialization, not an extra one.  Loop-callers pass
+    ``persisted_out`` to unpersist the returned frame after use.
     """
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -448,9 +457,9 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("v")).distinct()
         .withColumn("c", F.col("v"))
-        .persist()
+        .localCheckpoint()
     )
-    sym = sym.persist()
+    sym = sym.localCheckpoint()
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -463,48 +472,43 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_c").alias("nbr_c"))
         )
-        new_labels = (
+        # one eager checkpoint carries BOTH the new labels and the
+        # per-vertex moved flag, so the convergence probe below is a
+        # bounded scan of checkpointed blocks — no second evaluation
+        # of the join, no lineage growth
+        stepped = (
             labels.join(nbr_min.withColumnRenamed("src", "v"), "v", "left")
             .select(
                 "v",
                 F.least(
                     F.col("c"), F.coalesce(F.col("nbr_c"), F.col("c"))
                 ).alias("c"),
+                (
+                    F.col("nbr_c").isNotNull()
+                    & (F.col("nbr_c") < F.col("c"))
+                ).alias("moved"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select("v", F.col("c").alias("old_c")), "v"
-            )
-            .filter(F.col("c") != F.col("old_c"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter("moved").limit(1).count()
+        labels = stepped.select("v", "c")
         if changed == 0:
             converged = True
             break
     if not converged:
-        labels.unpersist()
         if method == "auto":
             # diameter exceeded the propagation budget: switch to the
             # O(log^2 n) star algorithm rather than failing — correct
-            # on any graph, just costlier per round.  sym is still
-            # cached here; the star's eager initial checkpoint is its
-            # single read, after which the cache is dropped
-            out = _star_components(sym, persisted_out)
-            sym.unpersist()
-            return out
-        sym.unpersist()
+            # on any graph, just costlier per round.  sym is already
+            # checkpointed, so the star reads materialized blocks
+            # (freed by the ContextCleaner once unreferenced)
+            return _star_components(sym, persisted_out)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             f"iterations (graph diameter exceeds max_iter); raise "
             f"max_iter or use method='auto'/'star' — returning partial "
             f"labels would split clusters"
         )
-    sym.unpersist()
     if persisted_out is not None:
         persisted_out.append(labels)
     return labels.select(F.col("v"), F.col("c").alias("component"))
