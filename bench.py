@@ -51,8 +51,9 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "4"))
-CRAWL_REPS = int(os.environ.get("BENCH_CRAWL_REPS", "3"))
-QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+# medians need >= 1 rep; a 0 would crash statistics.median, not skip
+CRAWL_REPS = max(1, int(os.environ.get("BENCH_CRAWL_REPS", "3")))
+QUERY_REPS = max(1, int(os.environ.get("BENCH_QUERY_REPS", "3")))
 
 PIPELINE_QUERIES = [
     "extract_spans",
@@ -157,14 +158,18 @@ def main() -> None:
 
     def crawl_once() -> tuple[float, int, dict[str, float]]:
         # large per-round politeness budget: rounds are macro-batches,
-        # so fixed per-round scheduling cost amortizes over the batch
+        # so fixed per-round scheduling cost amortizes over the batch.
+        # t0 starts BEFORE engine construction + init: rounds 1-4
+        # timed seed canonicalization and the round-0 writes inside
+        # the crawl wall, and the metric definition must not drift
+        # across BENCH_r{N} artifacts
         workdir = tempfile.mkdtemp(prefix="bench_crawl_", dir=workdir_base)
+        t0 = time.time()
         eng = CrawlEngine(
             spark, workdir, n_hosts=200, cap=512, refill=256,
             salt_buckets=16, write_docs=True,
         )
         eng.init([make_url(h, p) for h in range(200) for p in range(25)])
-        t0 = time.time()
         fetched = 0
         sections: dict[str, float] = {}
         for m in eng.run(CRAWL_ROUNDS):
@@ -250,6 +255,7 @@ def main() -> None:
             "crawl_reps": CRAWL_REPS,
             "query_reps": QUERY_REPS,
             "warmup_excluded": True,
+            "crawl_includes_init": True,  # same boundary as r1-r4
         },
         **extra,
     }

@@ -509,9 +509,17 @@ def connected_components(
             f"max_iter or use method='auto'/'star' — returning partial "
             f"labels would split clusters"
         )
+    out = labels.select(F.col("v"), F.col("c").alias("component"))
     if persisted_out is not None:
-        persisted_out.append(labels)
-    return labels.select(F.col("v"), F.col("c").alias("component"))
+        # the appended frame must be genuinely persisted for the
+        # caller's unpersist() to free anything (labels reads
+        # localCheckpoint blocks, which the cache manager doesn't
+        # own — same discipline as the star path's persisted output;
+        # the per-iteration checkpoint blocks free via the
+        # ContextCleaner as their frames drop out of scope)
+        out = out.persist()
+        persisted_out.append(out)
+    return out
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -122,13 +122,20 @@ def bloom_prefilter(
     blooms: DataFrame,
     hash_col: str = "url_hash",
     n_buckets: int = 32,
-    bits_per_bucket: int = 1 << 17,
     n_funcs: int = 5,
     dedup_by_hash: bool = False,
     max_rows_per_bucket: int | None = None,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen``; definite-new rows (bloom
     miss) skip the exact anti-join entirely.
+
+    There is no bitmap-size parameter: each bucket's geometry is
+    derived from its stored bytes (self-describing — the engine
+    resizes bitmaps at rebuilds, and a resumed or mid-resize probe
+    must test against each bucket's actual size).  ``n_buckets`` MUST
+    match the count the bitmaps were built with: a bucket with no
+    bloom row means "no seen key hashes here", which is only true
+    under the build-time bucketing.
 
     Cogroup by bucket: each task holds ONE bitmap and probes its whole
     candidate group in a few numpy passes — the bitmap is never
@@ -310,18 +317,27 @@ def new_urls(
             .select(candidates.columns)
         )
         dedup = False  # already exact-deduped; cogroup probes only
-    if narrow:
-        assert dedup, "narrow probe implies hash dedup"
-        keys = candidates.select(hash_col)
+
+    def _probe_then_anti(cand: DataFrame, dedup_by_hash: bool) -> DataFrame:
+        # shared tail of both probe shapes: tag via the bucket cogroup
+        # (persisted once — both filter branches read it), let bloom
+        # misses skip the anti-join, exact-check only the suspects
         tagged = bloom_prefilter(
-            keys, blooms, hash_col, dedup_by_hash=True, **bloom_kwargs
+            cand, blooms, hash_col, dedup_by_hash=dedup_by_hash,
+            **bloom_kwargs,
         ).persist()
         if persisted_out is not None:
             persisted_out.append(tagged)
         definite_new = tagged.filter(F.col("maybe_seen") == 0).drop("maybe_seen")
         suspects = tagged.filter(F.col("maybe_seen") == 1).drop("maybe_seen")
         checked = suspects.join(seen.select(hash_col), hash_col, "left_anti")
-        new_hashes = definite_new.unionByName(checked)
+        return definite_new.unionByName(checked)
+
+    if narrow:
+        assert dedup, "narrow probe implies hash dedup"
+        new_hashes = _probe_then_anti(
+            candidates.select(hash_col), dedup_by_hash=True
+        )
         if broadcast_new:
             new_hashes = F.broadcast(new_hashes)
         other = [c for c in candidates.columns if c != hash_col]
@@ -331,12 +347,4 @@ def new_urls(
             .agg(*[F.min(c).alias(c) for c in other])
             .select(candidates.columns)
         )
-    tagged = bloom_prefilter(
-        candidates, blooms, hash_col, dedup_by_hash=dedup, **bloom_kwargs
-    ).persist()
-    if persisted_out is not None:
-        persisted_out.append(tagged)
-    definite_new = tagged.filter(F.col("maybe_seen") == 0).drop("maybe_seen")
-    suspects = tagged.filter(F.col("maybe_seen") == 1).drop("maybe_seen")
-    checked = suspects.join(seen.select(hash_col), hash_col, "left_anti")
-    return definite_new.unionByName(checked)
+    return _probe_then_anti(candidates, dedup_by_hash=dedup)

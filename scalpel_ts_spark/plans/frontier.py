@@ -159,6 +159,7 @@ class CrawlEngine:
         bloom_buckets: int = 32,
         bloom_target_rows_per_bucket: int = 1_000_000,
         bloom_bits_per_key: int = 10,
+        bloom_max_bucket_bytes: int = 64 << 20,
         narrow_probe: bool = False,
         write_docs: bool = True,
         compact_every: int = 8,
@@ -259,6 +260,21 @@ class CrawlEngine:
         #: the budget.  Memory: seen_rows x bits_per_key x 4 bits
         #: total, spread over bloom_buckets partition-owned rows.
         self.bloom_bits_per_key = bloom_bits_per_key
+        #: per-bucket bitmap byte bound: one bucket's bitmap is one
+        #: cogroup task's numpy heap, so on a LONG crawl whose seen set
+        #: outgrows what the (discovery-volume-derived) bucket count
+        #: can hold at bits_per_key, the BUCKET COUNT grows at the next
+        #: rebuild instead of the per-bucket bitmaps growing without
+        #: bound — the rebuild is a fresh build keyed by the new count
+        #: (the only safe point to change bucketing) and rewrites the
+        #: manifest config in the same commit, so resume stays
+        #: consistent.  64 MiB/bucket = ~205M keys/bucket at 10 bits
+        #: x4 headroom; a 10^10-URL crawl at the 32-bucket floor grows
+        #: to 128 buckets instead of carrying 1.5 GB bitmaps per task.
+        #: clamped to bloom_bits_for's 2^17-bit floor — a bound below
+        #: the smallest bitmap a bucket can have would make the
+        #: bucket-growth loop spin forever chasing an unreachable size
+        self.bloom_max_bucket_bytes = max(bloom_max_bucket_bytes, (1 << 17) // 8)
         self._bloom_bits = 1 << 17  # re-derived at init()/compaction
         self._seen_rows = 0
         self.write_docs = write_docs
@@ -293,6 +309,7 @@ class CrawlEngine:
             "bloom_buckets": self.bloom_buckets,
             "bloom_target_rows_per_bucket": self.bloom_target_rows_per_bucket,
             "bloom_bits_per_key": self.bloom_bits_per_key,
+            "bloom_max_bucket_bytes": self.bloom_max_bucket_bytes,
             "narrow_probe": self.narrow_probe,
             "compact_every": self.compact_every,
             "max_fetch_retries": self.max_fetch_retries,
@@ -462,10 +479,20 @@ class CrawlEngine:
         eng._host_rows = sum(
             m.get("robots_cache_misses", 0) for m in manifest["rounds"]
         )
-        # bloom sizing state: bitmaps on disk are self-describing (the
-        # probe derives each bucket's geometry from its stored bytes),
-        # so these only steer FUTURE rebuilds; older manifests without
-        # the keys resume at the construction defaults
+        # bloom sizing state: bitmap SIZE on disk is self-describing
+        # (the probe derives each bucket's geometry from its stored
+        # bytes), so _bloom_bits only steers FUTURE rebuilds — but the
+        # BUCKET COUNT is not: a bucket with no bloom row reads as
+        # "definitely new", which is only correct under the build-time
+        # bucketing.  The constructor may re-derive a LARGER count than
+        # the manifest's (a pre-autoscale manifest missing
+        # bloom_target_rows_per_bucket resumes at today's default and
+        # can out-derive its stored floor), and probing at the wrong
+        # count would cogroup candidates against empty bloom rows and
+        # silently bypass the exact anti-join — so pin the stored
+        # geometry; bucket growth happens only through a rebuild,
+        # which rewrites bitmaps and manifest config together.
+        eng.bloom_buckets = cfg.get("bloom_buckets", eng.bloom_buckets)
         eng._seen_rows = manifest.get("seen_rows", 0)
         eng._bloom_bits = manifest.get("bloom_bits", eng._bloom_bits)
         return eng
@@ -1049,14 +1076,32 @@ class CrawlEngine:
             )
         )
         if self.use_bloom:
+            # bucket-count growth: when the seen set has outgrown what
+            # the current count can hold at <= bloom_max_bucket_bytes
+            # per bucket, double buckets until it fits — safe only
+            # here, because the rebuild below writes fresh bitmaps
+            # keyed by the new count and the manifest config updates
+            # in the same commit (probe bucketing must always match
+            # the on-disk build bucketing; see resume()).
+            want_buckets = self.bloom_buckets
+            while (
+                bloom_bits_for(
+                    4 * self._seen_rows, want_buckets,
+                    self.bloom_bits_per_key,
+                )
+                > 8 * self.bloom_max_bucket_bytes
+            ):
+                want_buckets <<= 1
             want_bits = bloom_bits_for(
-                4 * self._seen_rows, self.bloom_buckets,
+                4 * self._seen_rows, want_buckets,
                 self.bloom_bits_per_key,
             )
-            # upward-only: the seen set never shrinks, so a smaller
-            # want_bits can only mean lost tracking (e.g. a resumed
-            # pre-sizing manifest) — keep the larger on-disk geometry
-            if want_bits > self._bloom_bits:
+            # upward-only (at unchanged bucket count): the seen set
+            # never shrinks, so a smaller want_bits can only mean lost
+            # tracking (e.g. a resumed pre-sizing manifest) — keep the
+            # larger on-disk geometry.  A bucket-count change always
+            # rebuilds (per-bucket bits legitimately shrink then).
+            if want_buckets > self.bloom_buckets or want_bits > self._bloom_bits:
                 # RESIZE + rebuild: without this a fixed bitmap
                 # saturates as the crawl grows (at 4M seen keys the
                 # old fixed 2^17 bits ran ~1 bit/key, FP~100%, and the
@@ -1076,7 +1121,7 @@ class CrawlEngine:
                 )
                 bloom_df = build_bloom(
                     rebuild_src,
-                    n_buckets=self.bloom_buckets,
+                    n_buckets=want_buckets,
                     bits_per_bucket=self._bloom_bits,
                 )
             else:
@@ -1095,7 +1140,7 @@ class CrawlEngine:
                 (
                     _coalesce_for_write(
                         bloom_df,
-                        self.bloom_buckets,
+                        want_buckets,
                         rows_per_file=max(
                             1, (64 << 20) // max(1, self._bloom_bits // 8)
                         ),
@@ -1122,6 +1167,14 @@ class CrawlEngine:
             # marking it earlier would let a failed-then-retried round
             # treat a mere delta as the entire seen set
             self.manifest.setdefault("seen_full_rounds", [0]).append(nxt)
+        if self.use_bloom and want_buckets != self.bloom_buckets:
+            # switch the engine to the grown bucket count only AFTER
+            # the rebuilt bitmaps landed: probe bucketing must always
+            # match the latest COMMITTED build (a failed write must
+            # leave the next probe on the old geometry, in-process or
+            # via resume — the manifest below commits both together)
+            self.bloom_buckets = want_buckets
+            self.manifest["config"]["bloom_buckets"] = want_buckets
         n_denied = (
             _obs_count(denied_obs, "n_denied") if denied_obs is not None else 0
         )

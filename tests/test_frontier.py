@@ -269,6 +269,70 @@ def test_bloom_resizes_as_seen_grows(spark, tmp_path_factory, sim_state):
     assert {r.url for r in eng2.seen().collect()} == sim_state.seen
 
 
+def test_bloom_bucket_count_pinned_on_resume(spark, tmp_path_factory):
+    # the probe's bucketing MUST match the count the on-disk bitmaps
+    # were built with: a bucket with no bloom row reads "definitely
+    # new" (bypassing the exact anti-join), which is only correct
+    # under the build-time bucketing.  A pre-autoscale manifest that
+    # lacks bloom_target_rows_per_bucket would resume at today's
+    # default and the constructor could re-derive MORE buckets than
+    # the bitmaps have — resume must pin the stored count instead.
+    import json
+    import os
+
+    wd = str(tmp_path_factory.mktemp("crawl_bucketpin"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False
+    )
+    eng.init(SEEDS)
+    eng.run(2)
+    # rewrite the manifest as the pre-autoscale code would have left
+    # it: a small stored bucket count, no autoscale knob, and a config
+    # whose re-derivation exceeds the stored count
+    mpath = os.path.join(wd, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["config"]["bloom_buckets"] = 4
+    manifest["config"]["bloom_target_rows_per_bucket"] = 1  # re-derives 1280
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    eng2 = CrawlEngine.resume(spark, wd)
+    assert eng2.bloom_buckets == 4
+
+
+def test_bloom_bucket_count_grows_at_rebuild(spark, tmp_path_factory, sim_state):
+    # long-crawl path: when the seen set outgrows what the current
+    # bucket count can hold at <= bloom_max_bucket_bytes per bitmap,
+    # the BUCKET COUNT doubles at the next rebuild (fresh build keyed
+    # by the new count) instead of per-bucket bitmaps growing without
+    # bound.  bits_per_key is cranked so this small crawl hits the
+    # bound the way a 10^10-URL crawl would at 10 bits/key; the bound
+    # itself clamps to the 2^17-bit bitmap floor (16 KiB).
+    wd = str(tmp_path_factory.mktemp("crawl_bucketgrow"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4,
+        bloom_buckets=2, bloom_bits_per_key=100_000,
+        bloom_max_bucket_bytes=1,  # clamps to the 16 KiB floor
+        write_docs=False,
+    )
+    eng.init(SEEDS)
+    assert eng.bloom_buckets == 2
+    eng.run(1)  # seen grows past what 2 floor-sized buckets hold
+    grown = eng.bloom_buckets
+    assert grown > 2
+    assert eng.manifest["config"]["bloom_buckets"] == grown
+    # on-disk bitmaps were rebuilt at the new bucketing
+    assert eng._read("bloom", 1).count() <= grown
+    # growth is transparent: the remaining rounds (probing at the new
+    # count, in-process AND resumed) still equal the simulator
+    eng.run(1)
+    eng2 = CrawlEngine.resume(spark, wd)
+    assert eng2.bloom_buckets == eng.bloom_buckets
+    eng2.run(ROUNDS - 2)
+    assert _engine_log(eng2) == _sim_log(sim_state)
+    assert {r.url for r in eng2.seen().collect()} == sim_state.seen
+
+
 def _synthetic_http(url):
     # FetchFn over the same deterministic web as the default fetcher
     from scalpel_ts_spark.sources.synthetic import html_for_url
