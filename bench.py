@@ -213,6 +213,23 @@ def main() -> None:
         "calib_jvm_sec": {"median": _median(calib_reps), "reps": calib_reps},
         "host_during_crawl": host_reps,
     }
+    # pre-declared quiet-rep statistic: the rep with the LOWEST
+    # measured steal is the closest this shared VM gets to an
+    # unloaded machine, so report it (wall + its steal) next to the
+    # median.  This is instrumentation, not selection: the median
+    # stays the headline and every raw rep is in the artifact — but
+    # when 2 of 3 reps land in a 15-20% steal stretch (observed:
+    # sustained multi-minute regimes), the quiet rep is the number
+    # comparable across rounds.
+    if any(h.get("steal_pct") is not None for h in host_reps):
+        qi = min(
+            range(len(crawl_walls)),
+            key=lambda i: host_reps[i].get("steal_pct", 1e9),
+        )
+        extra["crawl_quiet_rep"] = {
+            "wall_sec": crawl_walls[qi],
+            **host_reps[qi],
+        }
 
     # -- pipeline stages over the sf tables --------------------------------
     qs = E.queries()
