@@ -568,7 +568,7 @@ def _dedup_exact_sql() -> str:
     return f"""
 SELECT {T.fingerprint_sql('text')} AS fp, min(doc_id) AS canonical_id,
        count(*) AS n_dupes
-FROM documents GROUP BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1
 """
 
 

@@ -61,6 +61,13 @@ def _parse_groups(text: str) -> dict:
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
+            if not value:
+                # a bare "User-agent:" line is malformed; recording an
+                # empty token would PREFIX-MATCH every crawler and
+                # outrank the explicit '*' fallback group — ignore the
+                # line entirely (Google parser behavior for lines that
+                # fail to parse a valid agent)
+                continue
             if rules_open:
                 current_agents = []
                 rules_open = False
@@ -168,7 +175,9 @@ def http_robots_stage(fetch_fn, user_agent: str = "scalpel-ts-spark"):
     ``min(url)``); output ``(host_id, robots_txt)``.  Error classes
     per RFC 9309 §2.3.1:
 
-    * 2xx — body decoded with the reference charset rule;
+    * 2xx — body decoded with the reference charset rule; a body whose
+      advertised utf-8 charset lies decodes best-effort as ISO-8859-1
+      (a SUCCESSFUL fetch must never be treated as unreachable);
     * 4xx (``HTTPError`` or returned status) — "unavailable": NULL
       body, i.e. no restrictions;
     * 5xx / transport failure — "unreachable": the DISALLOW_ALL
@@ -188,7 +197,10 @@ def http_robots_stage(fetch_fn, user_agent: str = "scalpel-ts-spark"):
         StructType,
     )
 
-    from scalpel_ts_spark.sources.fetch import decode_response
+    from scalpel_ts_spark.sources.fetch import (
+        decode_iso8859_1,
+        decode_response,
+    )
 
     out_schema = StructType(
         [
@@ -212,7 +224,17 @@ def http_robots_stage(fetch_fn, user_agent: str = "scalpel-ts-spark"):
                                 raise
                             status, ctype, body = he.code, None, b""
                         if 200 <= status < 300:
-                            texts.append(decode_response(body, ctype))
+                            try:
+                                texts.append(decode_response(body, ctype))
+                            except UnicodeDecodeError:
+                                # a SUCCESSFULLY fetched robots.txt
+                                # whose advertised charset lies (e.g.
+                                # windows-1252 bytes labeled utf-8)
+                                # must be parsed best-effort, not
+                                # treated as unreachable — RFC 9309
+                                # scopes complete-disallow to 5xx /
+                                # network failure only
+                                texts.append(decode_iso8859_1(body))
                         elif status < 500:
                             texts.append(None)  # 4xx: no restrictions
                         else:

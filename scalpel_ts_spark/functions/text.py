@@ -5,7 +5,9 @@ no Python) so it runs as a pure map stage over 100 TB of documents.
 Each function has a DuckDB-SQL mirror (``*_sql``) used by the driver's
 oracle; the pair is kept semantically identical on purpose:
 
-* tokenization = split lower(trim(text)) on ``\\s+``
+* tokenization = split lower(trim(text)) on the explicit whitespace
+  class ``[ \\t\\n\\x0B\\f\\r]+`` (Java's ``\\s`` includes ``\\x0B``
+  but RE2's does not — a bare ``\\s`` would diverge cross-engine)
 * ratios are a single IEEE-754 division of two exact integers, so
   Spark and DuckDB produce bit-identical doubles
 * fingerprints use md5 (present in both engines) — never engine-
@@ -23,17 +25,23 @@ from pyspark.sql import functions as F
 EN_STOPWORDS = ("a", "an", "the", "of", "and", "to", "in", "is", "it", "on")
 DE_STOPWORDS = ("der", "die", "das", "und", "ist", "ein", "zu", "den", "von")
 
+# Whitespace class spelled out: Java regex \s is [ \t\n\x0B\f\r] but
+# RE2 (DuckDB) \s omits vertical tab \x0B — a bare \s would make
+# tokens/fingerprints silently diverge between the engine and its
+# oracle mirror on documents containing \x0B.
+_WS = r" \t\n\x0B\f\r"
+
 # BPE-ish lexer: letter runs, digit runs, single punctuation marks.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS}]"
 
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens of the lowercased, trimmed text."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    return F.split(F.lower(F.trim(text)), rf"[{_WS}]+")
 
 
 def tokens_sql(col: str) -> str:
-    return rf"string_split_regex(lower(trim({col})), '\s+')"
+    return rf"string_split_regex(lower(trim({col})), '[{_WS}]+')"
 
 
 def token_count(text: Column) -> Column:
@@ -50,7 +58,7 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def bpe_token_count_sql(col: str) -> str:
-    return rf"len(regexp_extract_all({col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+    return rf"len(regexp_extract_all({col}, '{BPE_TOKEN_RE}'))"
 
 
 def _stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
@@ -74,17 +82,22 @@ def stopword_ratio_sql(col: str, words: tuple[str, ...] = EN_STOPWORDS) -> str:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Punctuation characters / total characters (quality signal)."""
+    """Punctuation characters / total characters (quality signal).
+
+    NULLIF guards the empty document: Spark's ANSI mode would throw
+    DIVIDE_BY_ZERO (and non-ANSI NULL vs DuckDB's IEEE NaN would break
+    the bit-identical-ratio contract) — both engines now yield NULL.
+    """
     n_punct = F.length(text) - F.length(
-        F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
+        F.regexp_replace(text, rf"[^A-Za-z0-9{_WS}]", "")
     )
-    return n_punct.cast("double") / F.length(text)
+    return n_punct.cast("double") / F.nullif(F.length(text), F.lit(0))
 
 
 def punct_ratio_sql(col: str) -> str:
     return (
-        rf"((length({col}) - length(regexp_replace({col}, '[^A-Za-z0-9\s]', '', 'g')))"
-        rf"::DOUBLE / length({col}))"
+        rf"((length({col}) - length(regexp_replace({col}, '[^A-Za-z0-9{_WS}]', '', 'g')))"
+        rf"::DOUBLE / nullif(length({col}), 0))"
     )
 
 
@@ -130,11 +143,11 @@ def fingerprint(text: Column) -> Column:
     md5 exists in both Spark and DuckDB with identical output, so the
     fingerprint doubles as a cross-engine dedup key.
     """
-    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), rf"[{_WS}]+", " "))
 
 
 def fingerprint_sql(col: str) -> str:
-    return rf"md5(regexp_replace(lower(trim({col})), '\s+', ' ', 'g'))"
+    return rf"md5(regexp_replace(lower(trim({col})), '[{_WS}]+', ' ', 'g'))"
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

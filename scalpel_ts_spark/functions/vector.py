@@ -54,18 +54,44 @@ def lsh_buckets_udf(planes: np.ndarray, n_tables: int, n_bits: int):
 
     One numpy matmul per Arrow batch; the planes matrix rides in the
     closure (tiny: tables*bits*dim doubles) — effectively a broadcast.
+
+    NULL / wrong-dimension embeddings must not fail the task (one bad
+    corpus row would otherwise kill the whole job — the same contract
+    the IVF cell-probe UDF keeps): such rows get a NULL bucket array,
+    which ``posexplode`` then drops, so they simply generate no
+    candidates.  The homogeneous batch (every row valid) keeps the
+    single-matmul fast path.
     """
     weights = np.ascontiguousarray(planes.T)  # (dim, tables*bits)
     packer = (1 << np.arange(n_bits, dtype=np.int64))  # bit weights
+    dim = weights.shape[0]
+
+    def _pack(mat: np.ndarray) -> list:
+        signs = (mat @ weights) > 0  # (rows, tables*bits)
+        signs = signs.reshape(len(mat), n_tables, n_bits)
+        return list((signs * packer).sum(axis=2).astype(np.int32))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _udf(emb: pd.Series) -> pd.Series:
-        mat = np.asarray(emb.to_list(), dtype=np.float64)  # (rows, dim)
-        if mat.size == 0:
+        vals = emb.to_list()
+        if not vals:
             return pd.Series([], dtype=object)
-        signs = (mat @ weights) > 0  # (rows, tables*bits)
-        signs = signs.reshape(len(mat), n_tables, n_bits)
-        buckets = (signs * packer).sum(axis=2).astype(np.int32)
-        return pd.Series(list(buckets))
+        try:
+            mat = np.asarray(vals, dtype=np.float64)  # (rows, dim)
+            if mat.ndim == 2 and mat.shape[1] == dim:
+                return pd.Series(_pack(mat))
+        except (ValueError, TypeError):
+            pass  # ragged / non-numeric batch: per-row salvage below
+        ok = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and hasattr(v, "__len__") and len(v) == dim
+        ]
+        out: list = [None] * len(vals)
+        if ok:
+            good = np.asarray([vals[i] for i in ok], dtype=np.float64)
+            for j, b in zip(ok, _pack(good)):
+                out[j] = b
+        return pd.Series(out, dtype=object)
 
     return _udf

@@ -42,6 +42,14 @@ CUCKOO_SCHEMA = StructType(
 
 _FP_SEED = np.uint64(0x9E3779B97F4A7C15)
 _MAX_KICKS = 500
+#: serialization header: (magic, version, n_buckets, bucket_size) as
+#: uint32 — geometry rides WITH the bytes so a probe configured with a
+#: mismatched (n_buckets, bucket_size) whose product happens to match
+#: fails loudly instead of silently reshaping into wrong bucket math
+#: (wrong geometry = missed fingerprints = FALSE NEGATIVES, the one
+#: failure class the no-false-negative contract forbids).
+_MAGIC = 0x43554B46  # "CUKF"
+_HEADER_BYTES = 16
 
 
 class CuckooSaturationError(RuntimeError):
@@ -105,38 +113,71 @@ class CuckooTable:
             np.int64
         )
 
-    # --- operations (scalar insert loop; vectorized probe) -----------------
+    def _alt_one(self, b: int, fp: int) -> int:
+        # same math as the vectorized _alt, in Python ints (numpy
+        # SCALAR uint64 ops warn on the intended mod-2^64 wrap)
+        step = ((int(fp) * int(_FP_SEED)) & 0xFFFFFFFFFFFFFFFF) >> 32
+        return (int(b) ^ step) % self.n_buckets
+
+    # --- operations (vectorized insert + probe; scalar kick chains) --------
+
+    def _bulk_place(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Place each ``fps[i]`` into an empty slot of ``buckets[i]``
+        where capacity allows; returns the placed mask.
+
+        Fully vectorized: keys are ranked within their target bucket
+        (order of appearance) and the first ``empty_count`` ranks per
+        bucket land in that bucket's empty slots — one fancy-indexed
+        store for the whole batch, no per-key Python."""
+        if len(buckets) == 0:
+            return np.zeros(0, dtype=bool)
+        ub, inv = np.unique(buckets, return_inverse=True)
+        emask = self.slots[ub] == 0  # (u, bucket_size)
+        ecount = emask.sum(axis=1)
+        # empty slot positions first, stable, per bucket
+        slot_order = np.argsort(~emask, kind="stable", axis=1)
+        order = np.argsort(inv, kind="stable")
+        counts = np.bincount(inv, minlength=len(ub))
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ranks = np.empty(len(buckets), dtype=np.int64)
+        ranks[order] = np.arange(len(buckets)) - np.repeat(starts, counts)
+        placed = ranks < ecount[inv]
+        rows = ub[inv[placed]]
+        cols = slot_order[inv[placed], ranks[placed]]
+        self.slots[rows, cols] = fps[placed]
+        return placed
 
     def insert_many(self, hashes: np.ndarray) -> int:
-        """Insert; returns number of failed insertions (table full)."""
+        """Insert; returns number of failed insertions (table full).
+
+        Two vectorized passes (all keys into bucket 1, the remainder
+        into bucket 2) place everything except keys whose BOTH buckets
+        are full; only those rare keys run the scalar
+        eviction-chain loop (deterministic rng)."""
         fps = self._fp(hashes)
         b1s = self._b1(hashes)
+        b2s = self._alt(b1s, fps)
+        placed = self._bulk_place(b1s, fps)
+        rem = np.flatnonzero(~placed)
+        if len(rem):
+            placed2 = self._bulk_place(b2s[rem], fps[rem])
+            rem = rem[~placed2]
         failed = 0
         rng = np.random.default_rng(12345)  # deterministic kick choice
-        for fp, b1 in zip(fps, b1s):
-            b2 = self._alt(np.array([b1]), np.array([fp]))[0]
-            placed = False
-            for b in (b1, b2):
-                row = self.slots[b]
-                empty = np.nonzero(row == 0)[0]
-                if len(empty):
-                    row[empty[0]] = fp
-                    placed = True
-                    break
-            if placed:
-                continue
-            b, cur = (b1 if rng.integers(2) else b2), fp
+        for i in rem:
+            b = int(b1s[i] if rng.integers(2) else b2s[i])
+            cur = int(fps[i])
             for _ in range(_MAX_KICKS):
                 slot = int(rng.integers(self.bucket_size))
-                cur, self.slots[b, slot] = self.slots[b, slot], cur
-                b = self._alt(np.array([b]), np.array([cur]))[0]
+                cur, self.slots[b, slot] = int(self.slots[b, slot]), cur
+                b = self._alt_one(b, cur)
                 row = self.slots[b]
                 empty = np.nonzero(row == 0)[0]
                 if len(empty):
                     row[empty[0]] = cur
-                    cur = None
+                    cur = 0
                     break
-            if cur is not None:
+            if cur:
                 failed += 1
         return failed
 
@@ -168,17 +209,41 @@ class CuckooTable:
     # --- serialization -----------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        return self.slots.tobytes()
+        header = np.array(
+            [_MAGIC, 1, self.n_buckets, self.bucket_size], dtype=np.uint32
+        )
+        return header.tobytes() + self.slots.tobytes()
 
     @classmethod
-    def from_bytes(cls, data: bytes, n_buckets: int = 1 << 14,
-                   bucket_size: int = 4) -> "CuckooTable":
+    def from_bytes(cls, data: bytes, n_buckets: int | None = None,
+                   bucket_size: int | None = None) -> "CuckooTable":
+        """Deserialize using the blob's OWN geometry header; the
+        optional args are validated against it (a mismatch means the
+        caller's bucket math would differ from the builder's — false
+        negatives — so it raises instead of reshaping)."""
+        header = np.frombuffer(data[:_HEADER_BYTES], dtype=np.uint32)
+        if len(header) != 4 or int(header[0]) != _MAGIC:
+            raise ValueError(
+                "cuckoo table blob lacks the geometry header (corrupt, "
+                "or serialized by an incompatible version)"
+            )
+        nb, bs = int(header[2]), int(header[3])
+        if n_buckets is not None and n_buckets != nb:
+            raise ValueError(
+                f"cuckoo geometry mismatch: blob has n_buckets={nb}, "
+                f"caller expected {n_buckets}"
+            )
+        if bucket_size is not None and bucket_size != bs:
+            raise ValueError(
+                f"cuckoo geometry mismatch: blob has bucket_size={bs}, "
+                f"caller expected {bucket_size}"
+            )
         slots = (
-            np.frombuffer(data, dtype=np.uint16)
-            .reshape(n_buckets, bucket_size)
+            np.frombuffer(data[_HEADER_BYTES:], dtype=np.uint16)
+            .reshape(nb, bs)
             .copy()
         )
-        return cls(n_buckets, bucket_size, slots)
+        return cls(nb, bs, slots)
 
 
 def _partitioned(df: DataFrame, hash_col: str, n_partitions: int) -> DataFrame:
@@ -270,7 +335,7 @@ def update_cuckoo(
 
     return (
         delta.groupBy("part")
-        .cogroup(tables.withColumnRenamed("part", "part").groupBy("part"))
+        .cogroup(tables.groupBy("part"))
         .applyInPandas(_apply, CUCKOO_SCHEMA)
     )
 

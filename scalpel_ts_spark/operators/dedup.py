@@ -19,14 +19,12 @@ Four families, all shuffle-conscious:
   candidate generation is again an equi-join, verified by exact
   hamming distance.
 
-Base hashes use blake2b (stable across processes — never Python's
-seeded ``hash``) and universal hashing ``(a*h + b) mod p`` for the
-permutations.
+Base hashes use pandas' SipHash with its fixed default key (stable
+across processes/machines — never Python's seeded ``hash``) and
+universal hashing ``(a*h + b) mod p`` for the permutations.
 """
 
 from __future__ import annotations
-
-from hashlib import blake2b
 
 import numpy as np
 import pandas as pd
@@ -37,18 +35,6 @@ from pyspark.sql.types import ArrayType, LongType
 from scalpel_ts_spark.functions.text import fingerprint, word_shingles
 
 _MERSENNE61 = (1 << 61) - 1
-
-
-def _base_hash64(values) -> np.ndarray:
-    """Stable 64-bit hash per string (blake2b, first 8 bytes)."""
-    return np.fromiter(
-        (
-            int.from_bytes(blake2b(v.encode(), digest_size=8).digest(), "big")
-            for v in values
-        ),
-        dtype=np.uint64,
-        count=len(values),
-    )
 
 
 def _hash_strings(flat: np.ndarray) -> np.ndarray:
@@ -86,10 +72,13 @@ def exact_duplicates(
     """Exact dedup groups: (fingerprint, canonical_id, n_dupes).
 
     canonical = min id per group; map-side partial agg keeps the
-    shuffle proportional to distinct fingerprints, not rows.
+    shuffle proportional to distinct fingerprints, not rows.  NULL
+    text is excluded: its fingerprint is NULL and grouping would
+    collapse every unknown-content row into one bogus dup group.
     """
     return (
-        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -101,11 +90,15 @@ def exact_duplicates(
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep one row (min id) per distinct normalized content."""
+    """Keep one row (min id) per distinct normalized content.
+
+    NULL-text rows have UNKNOWN content, not equal content — every
+    one of them is kept (they are no-ops for content dedup)."""
     w = exact_duplicates(df, text_col, id_col)
-    return df.join(
+    kept = df.join(
         w.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
     )
+    return kept.unionByName(df.filter(F.col(text_col).isNull()))
 
 
 def jaccard_pairs(
@@ -224,7 +217,23 @@ def lsh_candidate_pairs(
     posexplode keeps the band index in the key so different bands
     never collide; the self-equi-join on (band, key) is the single
     shuffle, and AQE's skew-join splitting handles megabuckets.
+
+    The signature must hold ``n_bands * rows_per_band`` values: a
+    band sliced past the end would fold an EMPTY array to its
+    constant init value, giving every document the same key — LSH
+    silently degrading to an all-pairs cross join.  Enforced in-plan
+    (a NULL signature fails the assert too: NULL is not true).
     """
+    required = n_bands * rows_per_band
+    sig_ok = F.assert_true(
+        F.size(F.col(sig_col)) >= F.lit(required),
+        F.lit(
+            f"lsh_candidate_pairs: signature shorter than n_bands*"
+            f"rows_per_band={required}; lower n_bands/rows_per_band or "
+            "raise n_perm"
+        ),
+    ).isNull()
+    with_sig = with_sig.filter(sig_ok)
     bands = with_sig.select(
         F.col(id_col),
         F.posexplode(band_keys(F.col(sig_col), n_bands, rows_per_band)).alias(
@@ -250,12 +259,24 @@ def minhash_near_duplicates(
     n_perm: int = 128,
     n_bands: int = 32,
     rows_per_band: int = 4,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs: shingle -> minhash -> LSH bands -> candidate
     self-join -> exact-Jaccard verification (the authority).
 
     Output (id_a, id_b, inter, uni), id_a < id_b.
+
+    The shingled frame is persisted (it feeds the signature branch
+    and both verification joins); loop callers pass ``persisted_out``
+    to receive it for unpersisting after the action — the same cache
+    contract as :func:`connected_components`.
     """
+    if n_bands * rows_per_band > n_perm:
+        raise ValueError(
+            f"n_bands({n_bands}) * rows_per_band({rows_per_band}) exceeds "
+            f"n_perm({n_perm}): bands past the signature end would give "
+            "every document an identical key (all-pairs blowup)"
+        )
     # row-count repartition first: the shingle/minhash stages cost per
     # ROW, but an upstream parquet scan partitions by bytes (one small
     # file => one task) — same rule as the fetch/extract stage
@@ -271,6 +292,8 @@ def minhash_near_duplicates(
         # without a persist the shingle stage executes three times
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(shingled)
     with_sig = shingled.withColumn(
         "minhash", minhash_signature_udf(n_perm)(F.col("shingles"))
     )
@@ -582,8 +605,15 @@ def simhash_near_duplicates(
     from scalpel_ts_spark.functions.text import tokens as tokens_col
 
     par = df.sparkSession.sparkContext.defaultParallelism
-    with_sim = df.repartition(par, id_col).select(
-        F.col(id_col), simhash_udf()(tokens_col(F.col(text_col))).alias("simhash")
+    with_sim = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
+        # NULL-token docs all hash to simhash 0 and would pair with
+        # EACH OTHER at hamming 0 (one megabucket of contentless
+        # "near-dups") — exclude them, like the minhash path's
+        # size(shingles) > 0 guard (NULL tokens fail the predicate)
+        .filter(F.size("_toks") > 0)
+        .select(F.col(id_col), simhash_udf()(F.col("_toks")).alias("simhash"))
     )
     bands = with_sim.select(
         F.col(id_col),

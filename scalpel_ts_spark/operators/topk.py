@@ -82,11 +82,26 @@ def topk_per_group(
             F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
         )
 
+    # The salt-local prune is lossless ONLY under k <= prune_k; a row
+    # whose quota exceeds prune_k could deserve a global rank beyond
+    # the per-bucket cut and be silently discarded.  Enforce the
+    # precondition in-plan (assert_true costs one comparison per row,
+    # no extra job) so a violating caller fails loudly; fusing it into
+    # the filter keeps Catalyst from pruning the check away.  NULL k
+    # is exempt (phase 2's `rank <= NULL` drops those rows anyway).
+    k_bound_ok = F.assert_true(
+        F.coalesce(k_col <= F.lit(prune_k), F.lit(True)),
+        F.lit(
+            f"topk_per_group: per-row k exceeds prune_k={prune_k}; "
+            "raise prune_k to at least max(k) or the salted prune "
+            "would silently drop qualifying rows"
+        ),
+    ).isNull()
     salted = df.withColumn("_salt", salt_col)
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
     pruned = (
         salted.withColumn("_srank", F.row_number().over(w1))
-        .filter(F.col("_srank") <= F.lit(prune_k))
+        .filter((F.col("_srank") <= F.lit(prune_k)) & k_bound_ok)
         .drop("_srank", "_salt")
     )
     w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)

@@ -23,7 +23,7 @@ One crawl round is one Spark job pipeline over snapshot tables:
 Storage goes through the :mod:`scalpel_ts_spark.plans.storage` seam:
 the sandbox uses ``ParquetSnapshotStorage`` (every table versioned by
 round under ``workdir/<table>/r<N>``, manifest as JSON), a cluster uses
-``IcebergSnapshotStorage`` (``writeTo(...).overwritePartitions()`` on
+``IcebergSnapshotStorage`` (``writeTo(...).overwrite(round == N)`` on
 tables partitioned by round + ``bucket(url_hash)`` /
 ``bucket(host_id)``) — the engine code is identical.  The ``seen``
 table is append-only deltas with a FULL compacted snapshot rewritten
@@ -144,6 +144,24 @@ def _coalesce_for_write(
     par = df.sparkSession.sparkContext.defaultParallelism
     floor = min(par, max(1, -(-est_rows // max(1, rows_per_file // 4))))
     return df.coalesce(max(target, floor))
+
+
+def resolve_write_small(storage):
+    """Return the storage's OPTIONAL ``write_small`` method, or None.
+
+    Duck-typed storages that never defined it fall back to plain
+    ``write``; so must a class that explicitly subclasses the
+    ``SnapshotStorage`` Protocol without overriding it — such a class
+    INHERITS the Protocol's ``...`` stub body, and calling that no-op
+    would silently write nothing (data loss at the commit seam)."""
+    write_small = getattr(storage, "write_small", None)
+    if (
+        write_small is not None
+        and getattr(type(storage), "write_small", None)
+        is SnapshotStorage.write_small
+    ):
+        return None
+    return write_small
 
 
 class CrawlEngine:
@@ -336,12 +354,15 @@ class CrawlEngine:
         ADVICE).  The tracked count lags the current round's write by
         one round of discovery, so the gate keeps 2x headroom.
 
-        ``write_small`` is an OPTIONAL storage method (Protocol bodies
-        are not inherited by duck-typed implementations): a custom
+        ``write_small`` is an OPTIONAL storage method: a custom
         storage written to the original five-method contract falls
-        back to its plain write."""
+        back to its plain write.  The probe must reject the
+        ``SnapshotStorage`` Protocol's own stub body — a storage class
+        that explicitly subclasses the Protocol without overriding
+        ``write_small`` inherits that ``...`` body, and calling it
+        would silently write nothing."""
         est = max(self.n_hosts, self._host_rows)
-        write_small = getattr(self.storage, "write_small", None)
+        write_small = resolve_write_small(self.storage)
         if write_small is not None and est <= DRIVER_WRITE_MAX_ROWS // 2:
             write_small(df, table, rnd)
         else:

@@ -13,9 +13,9 @@ mapping is code, not comments:
   Iceberg table per logical table, partitioned by a ``round`` column
   (plus ``bucket(url_hash)`` / ``bucket(host_hash)`` sub-partitioning
   declared at table-creation time), written via
-  ``writeTo(...).overwritePartitions()`` so each round commit is one
-  atomic Iceberg snapshot; the manifest lives in a single-row-per-round
-  table.  Construction fails fast with a clear message when no Iceberg
+  ``writeTo(...).overwrite(round == N)`` so each round commit is one
+  atomic Iceberg snapshot that replaces the whole round; the manifest
+  lives in a single-row-per-round table.  Construction fails fast with a clear message when no Iceberg
   catalog is configured (the sandbox has no Iceberg jars), but every
   code path is the real production call sequence.
 
@@ -99,8 +99,14 @@ class ParquetSnapshotStorage:
         )
 
     def save_manifest(self, manifest: dict) -> None:
-        with open(os.path.join(self.workdir, "manifest.json"), "w") as f:
+        # The manifest IS the round-commit record: a crash mid-write
+        # must leave the previous round's manifest intact, so write to
+        # a temp file and publish with an atomic rename.
+        path = os.path.join(self.workdir, "manifest.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
+        os.replace(tmp, path)
 
     def load_manifest(self) -> dict:
         with open(os.path.join(self.workdir, "manifest.json")) as f:
@@ -115,8 +121,9 @@ class ParquetSnapshotStorage:
 class IcebergSnapshotStorage:
     """Production storage: one Iceberg table per logical table with an
     identity ``round`` partition; a round commit is one atomic
-    ``overwritePartitions`` snapshot, and resume reads any committed
-    round by partition-pruned scan.
+    ``overwrite(round == N)`` snapshot (replacing every row of that
+    round, whatever buckets a crashed prior attempt touched), and
+    resume reads any committed round by partition-pruned scan.
 
     Table DDL (issued lazily on first write) also declares the north
     rule's hash bucketing, e.g.::
@@ -180,9 +187,14 @@ class IcebergSnapshotStorage:
     def write(self, df: DataFrame, table: str, rnd: int) -> None:
         out = df.withColumn(self.VERSION_COL, F.lit(rnd).cast("int"))
         self._ensure(out, table)
-        # atomic snapshot commit; re-running a failed round overwrites
-        # only that round's partitions (idempotent resume)
-        out.writeTo(self._name(table)).overwritePartitions()
+        # Atomic snapshot commit replacing the WHOLE round by predicate.
+        # (Not overwritePartitions: that replaces only the (round,
+        # bucket) partitions present in the new data, so a re-run of a
+        # crashed round whose retry produces no rows in some hash
+        # bucket would leave the previous attempt's rows alive there.)
+        out.writeTo(self._name(table)).overwrite(
+            F.col(self.VERSION_COL) == F.lit(rnd).cast("int")
+        )
 
     def write_small(self, df: DataFrame, table: str, rnd: int) -> None:
         # Iceberg commits are already metadata-atomic and cheap for

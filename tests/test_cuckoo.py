@@ -110,3 +110,36 @@ def test_update_raises_on_delete_of_never_inserted_key(spark):
     assert "CuckooDeleteError" in str(exc_info.value) or isinstance(
         exc_info.value, CuckooDeleteError
     )
+
+
+def test_from_bytes_rejects_geometry_mismatch():
+    """The blob carries its own geometry header: probing with a
+    mismatched (n_buckets, bucket_size) whose product matches must
+    raise — a silent reshape would compute different bucket indices
+    and produce FALSE NEGATIVES."""
+    t = CuckooTable(n_buckets=1 << 8, bucket_size=4)
+    keys = np.arange(100, dtype=np.int64) * 31 + 5
+    t.insert_many(keys)
+    blob = t.to_bytes()
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        CuckooTable.from_bytes(blob, n_buckets=1 << 9, bucket_size=2)
+    with pytest.raises(ValueError, match="header"):
+        CuckooTable.from_bytes(blob[16:])  # raw slots, header stripped
+    # header-borne geometry needs no caller args at all
+    t2 = CuckooTable.from_bytes(blob)
+    assert (t2.n_buckets, t2.bucket_size) == (1 << 8, 4)
+    assert t2.contains_many(keys).all()
+
+
+def test_insert_reuses_scattered_deleted_slots():
+    """Deletes leave holes at arbitrary slot positions; the vectorized
+    bulk placement must fill them (not just tail slots), keeping the
+    no-false-negative contract through delete/insert churn."""
+    t = CuckooTable(n_buckets=1 << 6, bucket_size=4)
+    keys = np.arange(200, dtype=np.int64) * 7919 + 13
+    assert t.insert_many(keys) == 0
+    assert t.delete_many(keys[::2]) == 0
+    more = np.arange(100, dtype=np.int64) * 104_729 + 7
+    assert t.insert_many(more) == 0
+    assert t.contains_many(keys[1::2]).all()
+    assert t.contains_many(more).all()

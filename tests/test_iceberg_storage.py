@@ -5,7 +5,7 @@ The sandbox has no Iceberg jars, so the production storage class can
 never execute end-to-end here — but everything it SAYS to the cluster
 is strings and a writer-API call sequence, both checkable against a
 stub catalog: the DDL it issues (bucket specs, version partition
-column), the writeTo/overwritePartitions commit shape, idempotent
+column), the writeTo/overwrite-by-round commit shape, idempotent
 table creation, round-pruned reads, manifest round-trip, and reset's
 drop list.  A real-cluster smoke run still owes one execution, but no
 code path is untested beyond the JVM boundary.
@@ -23,8 +23,8 @@ class _FakeWriter:
     def __init__(self, log, name):
         self._log, self._name = log, name
 
-    def overwritePartitions(self):
-        self._log.append(("overwritePartitions", self._name))
+    def overwrite(self, condition):
+        self._log.append(("overwrite", self._name, str(condition)))
 
     def createOrReplace(self):
         self._log.append(("createOrReplace", self._name))
@@ -93,9 +93,12 @@ def test_write_issues_bucketed_ddl_then_atomic_commit(spark):
     assert "url string" in ddl and "url_hash bigint" in ddl
     assert "_snapshot_round int" in ddl
     assert "PARTITIONED BY (_snapshot_round, bucket(512, url_hash))" in ddl
-    # the commit is one atomic overwritePartitions on the round
-    assert [op[0] for op in fs.log] == ["writeTo", "overwritePartitions"]
+    # the commit is one atomic overwrite of the WHOLE round by
+    # predicate (not overwritePartitions, which would leave a prior
+    # crashed attempt's rows alive in hash buckets the retry misses)
+    assert [op[0] for op in fs.log] == ["writeTo", "overwrite"]
     assert fs.log[0][1] == "ice.ns.seen"
+    assert "_snapshot_round" in fs.log[1][2] and "3" in fs.log[1][2]
     written = fs.log[0][2]
     assert written.filter(F.col("_snapshot_round") == 3).count() == 1
     # second write of the same table: idempotent DDL (no re-CREATE)

@@ -183,3 +183,35 @@ def test_host_crawl_delays_frame(spark):
         r.host_id: r.crawl_delay for r in host_crawl_delays(robots).collect()
     }
     assert got == {1: 3.0, 4: 1.5}
+
+
+def test_empty_user_agent_line_is_ignored():
+    """A bare 'User-agent:' line must not create an empty group token
+    (it would prefix-match every crawler and outrank the explicit '*'
+    fallback); it is ignored like any unparseable line."""
+    txt = "User-agent:\nDisallow: /\n\nUser-agent: *\nDisallow:\n"
+    # the '*' group (allow everything) applies, not the malformed one
+    assert parse_robots(txt, "scalpel-ts-spark") == []
+    assert _decide(txt, "scalpel-ts-spark", "/anything")
+
+
+def test_mislabeled_charset_robots_parsed_not_blacklisted(spark):
+    """A 2xx robots.txt whose advertised utf-8 charset lies (cp1252
+    bytes) decodes best-effort — RFC 9309 scopes complete-disallow to
+    5xx/unreachable, never to a decode hiccup on a SUCCESSFUL fetch."""
+    from scalpel_ts_spark.functions.robots import (
+        DISALLOW_ALL,
+        http_robots_stage,
+    )
+
+    body = b"User-agent: *\nDisallow: /priv\x92ate\n"  # invalid utf-8
+
+    def fetch_fn(url):
+        return 200, "text/plain; charset=utf-8", body
+
+    df = spark.createDataFrame(
+        [("http://h0.test/", 0)], "url string, host_id bigint"
+    )
+    row = http_robots_stage(fetch_fn)(df).collect()[0]
+    assert row["robots_txt"] != DISALLOW_ALL
+    assert "User-agent: *" in row["robots_txt"]

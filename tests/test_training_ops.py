@@ -63,6 +63,93 @@ def test_text_functions(spark, docs_df):
     assert lang3 == "de"
 
 
+def test_text_sql_mirrors_agree_on_edge_whitespace(spark):
+    """The two spots a naive mirror diverges: \\x0B (in Java regex \\s,
+    NOT in RE2's) and the empty string (zero-length division)."""
+    import duckdb
+
+    samples = ["a\x0bb c", "", "  ", "x!?y.", "one two"]
+    got = (
+        spark.createDataFrame([(s,) for s in samples], "text string")
+        .select(
+            "text",
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.punct_ratio(F.col("text")).alias("punct"),
+            T.fingerprint(F.col("text")).alias("fp"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in samples])
+    oracle = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"SELECT text, {T.token_count_sql('text')}, "
+            f"{T.punct_ratio_sql('text')}, {T.fingerprint_sql('text')} FROM t"
+        ).fetchall()
+    }
+    for r in got:
+        assert (r["n_tokens"], r["punct"], r["fp"]) == oracle[r["text"]], (
+            repr(r["text"])
+        )
+
+
+def test_dedup_exact_keeps_null_text_rows(spark):
+    """NULL text is unknown content, not equal content: such rows must
+    neither collapse into one bogus dup group nor be dropped."""
+    df = spark.createDataFrame(
+        [(0, "same"), (1, "same"), (2, None), (3, None)],
+        "doc_id bigint, text string",
+    )
+    kept = {r.doc_id for r in D.dedup_exact(df).collect()}
+    assert kept == {0, 2, 3}
+    groups = D.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0]["n_dupes"] == 2
+
+
+def test_minhash_band_geometry_validated(spark, docs_df):
+    with pytest.raises(ValueError, match="n_perm"):
+        D.minhash_near_duplicates(docs_df, n_perm=64)  # default 32*4 > 64
+
+
+def test_lsh_candidate_pairs_guard_fires_in_plan(spark):
+    """A signature shorter than n_bands*rows_per_band would give every
+    doc an identical folded key (all-pairs blowup) — the in-plan
+    assert fails the job loudly instead."""
+    sigs = spark.createDataFrame(
+        [(0, list(range(8))), (1, list(range(8)))],
+        "doc_id bigint, minhash array<bigint>",
+    )
+    out = D.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
+    with pytest.raises(Exception, match="signature shorter"):
+        out.collect()
+
+
+def test_simhash_ignores_null_text_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, None),
+            (1, None),
+            (2, "real content words here"),
+            (3, "real content words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in D.simhash_near_duplicates(df).collect()
+    }
+    assert pairs == {(2, 3)}
+
+
+def test_minhash_persisted_out_contract(spark, docs_df):
+    caches: list = []
+    D.minhash_near_duplicates(docs_df, persisted_out=caches).collect()
+    assert len(caches) == 1 and caches[0].is_cached
+    caches[0].unpersist()
+    assert not caches[0].is_cached
+
+
 def test_exact_dedup(spark, docs_df):
     groups = D.exact_duplicates(docs_df).collect()
     sizes = sorted(g["n_dupes"] for g in groups)
@@ -146,6 +233,32 @@ def test_lsh_topk_finds_planted_neighbor(spark, emb_df):
     got = lsh_topk(queries, emb_df.filter("vec_id < 100"), dim=16, k=1).collect()
     top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
     assert top1 == {100: 0, 101: 1, 102: 2}
+
+
+def test_lsh_survives_null_and_ragged_embeddings(spark, emb_df):
+    """One bad corpus row (NULL or wrong-dimension embedding) must not
+    fail the job — it generates no candidates and drops out, the same
+    contract the IVF cell-probe UDF keeps."""
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0]), (902, [float(i) for i in range(17)])],
+        "vec_id bigint, embedding array<double>",
+    )
+    corpus = emb_df.filter("vec_id < 100").unionByName(bad)
+    queries = emb_df.filter("vec_id >= 100")
+    got = lsh_topk(queries, corpus, dim=16, k=1).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert top1 == {100: 0, 101: 1, 102: 2}
+
+
+def test_brute_force_null_ids_are_distinct_entities(spark):
+    """A NULL corpus id must not vanish from every top-k (a plain `!=`
+    self-exclusion would evaluate to NULL and drop it)."""
+    df = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = brute_force_topk(df.filter("vec_id = 1"), df, k=2).collect()
+    assert {r["neighbor_id"] for r in got} == {None, 2}
 
 
 def test_embedding_near_duplicates(spark, emb_df):
