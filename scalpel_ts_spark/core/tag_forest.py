@@ -57,12 +57,27 @@ def _malformed(end: int, pre_bad: list, remaining: list):
 
 
 def _fix_tree(forest: list) -> list:
-    """Hoist malformed children (reference fixTree, TagForest.ts:94-100)."""
-    if not forest:
-        return []
-    head, tail = forest[0], forest[1:]
-    ok, bad = _malformed(head.end, _fix_tree(tail), _fix_tree(head.forest))
-    return [TagNode(head.start, head.end, ok)] + bad
+    """Hoist malformed children (reference fixTree, TagForest.ts:94-100).
+
+    Same fold as the reference — each node's hoisted children are
+    spliced between it and its right siblings — but iterated right to
+    left with amortized-O(1) appends instead of the reference's
+    head/tail recursion: per-sibling ``forest[1:]`` slicing plus list
+    concat is O(siblings²), which measured 9.5 s on a single document
+    with 16k sibling nodes (large flat tables/lists) inside every
+    extract UDF.  Recursion remains only in tree DEPTH.
+    """
+    out_rev: list = []  # result in reverse document order
+    for head in reversed(forest):
+        fixed_children = _fix_tree(head.forest)
+        ok: list = []
+        hoisted: list = []
+        for node in fixed_children:
+            (hoisted if head.end < node.end else ok).append(node)
+        out_rev.extend(reversed(hoisted))
+        out_rev.append(TagNode(head.start, head.end, ok))
+    out_rev.reverse()
+    return out_rev
 
 
 def from_tag_info(token_info) -> list:

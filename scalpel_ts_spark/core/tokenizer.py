@@ -84,9 +84,12 @@ def unescape_attr(s: str) -> str:
         return s
     return _CHARREF_RE.sub(_replace_charref_attr, s)
 
-# JS String.trim() also strips BOM and NBSP; Python's default strip()
-# covers NBSP but not BOM, so be explicit.
-_WS = " \t\n\r\f\v\x1c\x1d\x1e\x1f\x85\xa0                　﻿"
+# JS String.trim() strips exactly ECMAScript WhiteSpace (TAB VT FF SP
+# NBSP ZWNBSP + category Zs) plus LineTerminator (LF CR LS PS) -- NOT
+# Python's default strip() set, which adds \x1c-\x1f and \x85
+# (category Cc, kept by the reference: a '\x85abc\x85' text node
+# retains its padding) and misses the BOM.
+_WS = '\t\x0b\x0c \xa0\ufeff\n\r\u2028\u2029\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u202f\u205f\u3000'
 
 
 class TagOpen(NamedTuple):
@@ -172,6 +175,24 @@ OPEN_IMPLIES_CLOSE = {
 
 # Raw-text elements: content is opaque until the matching close tag.
 _RAW_TEXT = frozenset(("script", "style"))
+
+# Close-tag scanners for raw-text content, matching htmlparser2's
+# special-mode exit (Tokenizer stateAfterSpecialLast): the name match
+# is ASCII-case-insensitive CHARACTER BY CHARACTER (explicit [sS]
+# classes — re.IGNORECASE would also casefold U+017F LONG S onto 's',
+# which htmlparser2 does not), and the name must be followed by '>'
+# or htmlparser2 whitespace (space \t \n \f \r) — '</scripted>' stays
+# raw text.  Searching the ORIGINAL string (not a .lower() copy)
+# keeps indices valid when lowercasing changes length (U+0130 'İ'
+# lowers to two chars) and avoids an O(len(doc)) copy per element.
+_RAW_CLOSE_RE = {
+    name: re.compile(
+        "</"
+        + "".join(f"[{c}{c.upper()}]" for c in name)
+        + r"(?=[>\t\n\f\r ])"
+    )
+    for name in _RAW_TEXT
+}
 
 _ALPHA = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 _NAME_END = frozenset(" \t\n\r\f/>")
@@ -345,11 +366,12 @@ def parse(source: str) -> list:
             # raw-text elements: consume until the matching close tag
             if stack and stack[-1] in _RAW_TEXT:
                 raw_name = stack[-1]
-                close_at = s.lower().find("</" + raw_name, i)
-                if close_at == -1:
+                cm = _RAW_CLOSE_RE[raw_name].search(s, i)
+                if cm is None:
                     emit_text(s[i:])
                     i = n
                 else:
+                    close_at = cm.start()
                     emit_text(s[i:close_at])
                     gt = s.find(">", close_at)
                     handle_close(raw_name)

@@ -13,12 +13,13 @@ unless ``fake=True``, in which case a deterministic byte-derived fake
 decode runs — making every piece of the Spark-side plumbing (schema,
 batching, partitioning, UDF signatures) real and testable.
 
-Scale notes: blobs are the widest rows in the system; bound Arrow
-batches by passing ``max_records_per_batch`` to :func:`media_features`
-(it sets ``spark.sql.execution.arrow.maxRecordsPerBatch``, a SESSION
-conf read at execution time — every later Arrow stage sees it, so the
-caller owns the knob and the default leaves it untouched; the session
-default 2048 assumes ~KB rows).  Also resize a media DF with
+Scale notes: blobs are the widest rows in the system; bound the
+PYTHON-side working set by passing ``max_records_per_batch`` to
+:func:`media_features` (it re-slices incoming Arrow batches INSIDE the
+UDF — it deliberately does NOT touch the session-wide
+``spark.sql.execution.arrow.maxRecordsPerBatch`` conf, so the
+JVM->Python transfer batch is still the session's; scope that conf
+yourself for very wide blob rows).  Also resize a media DF with
 ``df.repartition(..)`` by blob-size budget, not row count.  On a real
 lakehouse the blob column is an Iceberg ``binary`` field with metadata
 in the same row — one scan serves both filter-by-metadata (pruned,

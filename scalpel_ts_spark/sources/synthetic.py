@@ -143,5 +143,11 @@ def fetch_robots_rules(hosts_df):
 
 
 def seq_of(url: str) -> int:
-    h, p = parse_url_ids(url)
+    ids = parse_url_ids(url)
+    if ids is None:
+        raise ValueError(
+            f"malformed synthetic URL {url!r}: expected "
+            "http://h{n}.test/p/{n} (check the seed list)"
+        )
+    h, p = ids
     return h * 1_000_000_000 + p

@@ -210,3 +210,75 @@ def test_entity_attribute_mode_edge_cases():
         ], src
     # unquoted values follow the same attribute rule
     assert parse("<a href=x&ampy>")[0] == TagOpen("a", (("href", "x&ampy"),))
+
+
+def test_raw_text_close_search_survives_multibyte_lowercase():
+    """U+0130 'İ' lowers to TWO chars: a close-tag search over a
+    .lower() copy desyncs its indices against the original string."""
+    toks = parse("<p>İ</p><script>var x=1;</script><b>ok</b>")
+    assert Text("var x=1;") in toks
+    assert Text("ok") in toks
+    assert not any(type(t) is Text and "<" in t.text for t in toks)
+
+
+def test_raw_text_close_requires_tag_boundary():
+    """htmlparser2 leaves script/style special mode only when the
+    close-tag name is followed by '>' or whitespace — '</scripted>'
+    stays raw text; '</SCRIPT >' (case-insensitive, space) closes."""
+    assert parse("<script>x</scripted>y</script>") == [
+        TagOpen("script", ()),
+        Text("x</scripted>y"),
+        TagClose("script"),
+    ]
+    assert parse("<script>x</SCRIPT >z") == [
+        TagOpen("script", ()),
+        Text("x"),
+        TagClose("script"),
+        Text("z"),
+    ]
+
+
+def test_text_trim_matches_js_not_python():
+    """JS String.trim() does NOT strip \\x1c-\\x1f or \\x85 (category
+    Cc); Python's default strip() does — the reference keeps them."""
+    assert parse("<p>\x85abc\x85</p>")[1] == Text("\x85abc\x85")
+    # a \x1c-only text node is NOT whitespace-only under JS trim
+    assert Text("\x1c") in parse("<p>\x1c</p>")
+    # the JS set itself still trims (NBSP, BOM, ideographic space)
+    assert parse("<p>\xa0﻿　</p>") == [
+        TagOpen("p", ()),
+        TagClose("p"),
+    ]
+
+
+def test_fix_tree_linear_in_sibling_count():
+    """A document that is one flat run of siblings (large tables/
+    lists) must build its forest in linear time — the head/tail
+    recursive fold was O(siblings^2): 9.5s at 16k siblings."""
+    import time
+
+    from scalpel_ts_spark.core.tag_forest import _fix_tree
+
+    big = [TagNode(i, i, []) for i in range(30_000)]
+    t0 = time.perf_counter()
+    out = _fix_tree(big)
+    assert len(out) == 30_000
+    assert time.perf_counter() - t0 < 2.0  # old shape: ~30s+ here
+
+
+def test_fix_tree_hoists_cascade_through_levels():
+    """A grandchild whose span escapes both its parent AND grandparent
+    is hoisted to the top level, between the grandparent and its right
+    siblings (reference fixTree fold order)."""
+    from scalpel_ts_spark.core.tag_forest import _fix_tree
+
+    escape = TagNode(2, 99, [])
+    child = TagNode(1, 3, [escape])
+    root = TagNode(0, 4, [child])
+    sibling = TagNode(5, 6, [])
+    got = _fix_tree([root, sibling])
+    assert got == [
+        TagNode(0, 4, [TagNode(1, 3, [])]),
+        TagNode(2, 99, []),
+        TagNode(5, 6, []),
+    ]

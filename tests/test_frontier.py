@@ -707,3 +707,13 @@ def test_unreachable_robots_refetch_recovers(spark, tmp_path_factory):
     r3 = host1_row(3)
     assert r3.robots_txt == "User-agent: *\nAllow: /"
     assert r3.fetch_fails == 0
+
+
+def test_seq_of_rejects_malformed_seed():
+    import pytest as _pytest
+
+    from scalpel_ts_spark.sources.synthetic import seq_of
+
+    assert seq_of(make_url(3, 7)) == 3 * 1_000_000_000 + 7
+    with _pytest.raises(ValueError, match="malformed synthetic URL"):
+        seq_of("http://h3.test/page/7")  # wrong path shape
