@@ -235,15 +235,19 @@ def main() -> None:
     qs = E.queries()
     n_docs = 0
 
-    def consume(name: str) -> None:
+    def consume(name: str, measure_docs: bool = False) -> None:
         nonlocal n_docs
         df = qs[name](spark, SF_DIR)
-        if name == "extract_spans":
+        if measure_docs and name == "extract_spans":
+            # n_docs is deterministic — derive it in the WARM rep only;
+            # running a second full pipeline execution inside every
+            # timed rep doubled extract_spans' recorded median (and
+            # halved docs_per_sec) through BENCH_r04
             n_docs = df.select("doc_id").distinct().count()
         df.count()
 
     for name in PIPELINE_QUERIES:  # untimed warm rep apiece
-        consume(name)
+        consume(name, measure_docs=True)
     reps: dict[str, list[float]] = {n: [] for n in PIPELINE_QUERIES}
     for _ in range(QUERY_REPS):
         for name in PIPELINE_QUERIES:  # interleaved round-robin

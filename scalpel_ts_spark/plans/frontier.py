@@ -155,9 +155,12 @@ def resolve_write_small(storage):
     INHERITS the Protocol's ``...`` stub body, and calling that no-op
     would silently write nothing (data loss at the commit seam)."""
     write_small = getattr(storage, "write_small", None)
+    if write_small is None:
+        return None
+    if "write_small" in getattr(storage, "__dict__", {}):
+        return write_small  # instance-level override is a real impl
     if (
-        write_small is not None
-        and getattr(type(storage), "write_small", None)
+        getattr(type(storage), "write_small", None)
         is SnapshotStorage.write_small
     ):
         return None

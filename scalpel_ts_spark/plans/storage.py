@@ -37,24 +37,44 @@ from pyspark.sql import functions as F
 
 
 class SnapshotStorage(Protocol):
-    def write(self, df: DataFrame, table: str, rnd: int) -> None: ...
+    """Structural storage contract.
+
+    REQUIRED method stubs raise: a class that explicitly subclasses
+    this Protocol but misses one must fail LOUDLY at the call site —
+    the inherited default would otherwise be a silent None-returning
+    no-op at the commit seam (a save_manifest that writes nothing
+    makes every round unresumable with no error).  Duck-typed
+    implementations never inherit these bodies.  ``write_small`` is
+    the one OPTIONAL method: its stub stays inert because the engine's
+    ``resolve_write_small`` probe filters it by identity and falls
+    back to plain ``write``.
+    """
+
+    def write(self, df: DataFrame, table: str, rnd: int) -> None:
+        raise NotImplementedError("SnapshotStorage.write")
 
     def write_small(self, df: DataFrame, table: str, rnd: int) -> None:
-        """Write a small (driver-collectable) table — implementations
-        may skip the distributed write path entirely."""
+        """OPTIONAL: write a small (driver-collectable) table —
+        implementations may skip the distributed write path entirely.
+        The engine probes for a real override and otherwise uses
+        ``write``."""
         ...
 
-    def read(self, table: str, rnd: int) -> DataFrame: ...
+    def read(self, table: str, rnd: int) -> DataFrame:
+        raise NotImplementedError("SnapshotStorage.read")
 
-    def read_union(self, table: str, rounds: Sequence[int]) -> DataFrame: ...
+    def read_union(self, table: str, rounds: Sequence[int]) -> DataFrame:
+        raise NotImplementedError("SnapshotStorage.read_union")
 
-    def save_manifest(self, manifest: dict) -> None: ...
+    def save_manifest(self, manifest: dict) -> None:
+        raise NotImplementedError("SnapshotStorage.save_manifest")
 
-    def load_manifest(self) -> dict: ...
+    def load_manifest(self) -> dict:
+        raise NotImplementedError("SnapshotStorage.load_manifest")
 
     def reset(self) -> None:
         """Drop all state (fresh-crawl initialization)."""
-        ...
+        raise NotImplementedError("SnapshotStorage.reset")
 
 
 class ParquetSnapshotStorage:

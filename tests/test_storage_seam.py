@@ -52,9 +52,36 @@ def test_resolve_write_small_rejects_protocol_stub():
         def write_small(self, df, table, rnd):
             return "real"
 
+    class SubclassInstanceLevel(SnapshotStorage):
+        def __init__(self):
+            self.write_small = lambda df, table, rnd: "instance"
+
     assert resolve_write_small(InheritsStub()) is None
     assert resolve_write_small(DuckWithout()) is None
     fast = resolve_write_small(DuckWithFastPath())
     assert fast is not None and fast(None, "t", 0) == "fast"
     real = resolve_write_small(SubclassOverrides())
     assert real is not None and real(None, "t", 0) == "real"
+    # an instance-level assignment is a REAL implementation even
+    # though the class attribute is still the Protocol stub
+    inst = resolve_write_small(SubclassInstanceLevel())
+    assert inst is not None and inst(None, "t", 0) == "instance"
+
+
+def test_protocol_required_stubs_raise():
+    """An explicit Protocol subclass that forgot a REQUIRED method
+    must fail loudly when the engine calls it — the old inherited
+    `...` body returned None, silently committing nothing."""
+    import pytest
+
+    class Missing(SnapshotStorage):
+        def write(self, df, table, rnd):
+            pass
+
+    with pytest.raises(NotImplementedError, match="save_manifest"):
+        Missing().save_manifest({})
+    with pytest.raises(NotImplementedError, match="reset"):
+        Missing().reset()
+    # the OPTIONAL write_small stub stays inert (identity-filtered by
+    # resolve_write_small, never called)
+    assert Missing().write_small(None, "t", 0) is None

@@ -1,8 +1,13 @@
-"""Crawl-only bench: the bench.py headline crawl loop, nothing else.
+"""Crawl-only bench: the bench.py headline crawl config, timed from
+AFTER engine construction + init (``includes_init: false`` in the
+output) — bench.py's headline includes init, so the two walls are NOT
+directly comparable; compare crawl_bench runs only with each other.
 
 Used for interleaved A/B runs of engine changes (this host swings
 ±30-50% run-to-run, so old/new must alternate).  Prints ONE JSON line
-with wall, urls/sec and the per-stage sections.
+with wall, urls/sec and the per-stage sections.  Note the boundary
+also means an init-affecting change (seed canonicalization, bloom
+sizing at init) shows NO delta here — A/B such changes via bench.py.
 
 Usage: python tools/crawl_bench.py [rounds]
 Env: SPARK_GRAFT_CPUS (default 32).
@@ -81,6 +86,7 @@ def main() -> None:
         "rounds": ROUNDS,
         "workdir": WORKDIR_BASE or tempfile.gettempdir(),
         "narrow_probe": eng.narrow_probe,
+        "includes_init": False,
     }))
 
 

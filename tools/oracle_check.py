@@ -60,6 +60,15 @@ def main():
     import __spark_entry__ as E
     from scalpel_ts_spark.sources.session import get_spark
 
+    qs, oracles = E.queries(), E.oracle_sql()
+    unknown = [q for q in (only or []) if q not in qs]
+    if unknown:
+        # a misspelled filter must not skip every check and still
+        # print ALL OK / exit 0 — that is a green gate that ran
+        # nothing (validated BEFORE Spark startup: fail in <1s)
+        print(f"unknown queries: {unknown}\navailable: {sorted(qs)}")
+        sys.exit(2)
+
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -67,7 +76,6 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -155,7 +155,16 @@ def _run_child(cores: int) -> dict:
             file=sys.stderr,
         )
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    line = out.stdout.strip().splitlines()[-1]
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        # surface the child's actual traceback instead of dying on an
+        # IndexError over empty stdout with stderr discarded
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(
+            f"child level failed (cores={cores}, rc={out.returncode}); "
+            "stderr tail above"
+        )
+    line = lines[-1]
     print(line, file=sys.stderr)
     return json.loads(line)
 
