@@ -22,7 +22,7 @@ from __future__ import annotations
 import scalpel_ts_spark.core.scraper as S
 import scalpel_ts_spark.core.select as Sel
 import scalpel_ts_spark.core.serial as Serial
-from scalpel_ts_spark.core.scraper import NOTHING, Scraper, scrape_raw
+from scalpel_ts_spark.core.scraper import Scraper
 
 # --- printer (html-to-markdown.ts:148-228) ---------------------------------
 
@@ -43,14 +43,23 @@ def _escape_md(text: str) -> str:
     return text
 
 
+def _fixpoint_replace(raw: str, old: str, new: str) -> str:
+    # iterative fixpoint, NOT the reference's one-frame-per-occurrence
+    # recursion: this runs inside Spark UDFs over arbitrary documents,
+    # and ~1000 occurrences would hit Python's recursion limit
+    while True:
+        clean = _replace_first(raw, old, new)
+        if clean == raw:
+            return raw
+        raw = clean
+
+
 def _collapse_newlines(raw: str) -> str:
-    clean = _replace_first(raw, "\n\n\n\n", "\n\n")
-    return raw if raw == clean else _collapse_newlines(clean)
+    return _fixpoint_replace(raw, "\n\n\n\n", "\n\n")
 
 
 def _remove_indents(raw: str) -> str:
-    clean = _replace_first(raw, "\n ", "\n")
-    return raw if raw == clean else _remove_indents(clean)
+    return _fixpoint_replace(raw, "\n ", "\n")
 
 
 def _texts_to_md(texts) -> str:
@@ -153,8 +162,6 @@ content = S.chroot(Sel.tag("article"), formatted_text).alt(
 
 def scrape_markdown(html: str):
     """Either form of the example's ``main``: ('right', markdown) |
-    ('left', 'Failed to scrape source')."""
-    v = scrape_raw(html, content)
-    if v is NOTHING:
-        return ("left", "Failed to scrape source")
-    return ("right", print_md(v))
+    ('left', 'Failed to scrape source') — the core runner's Either
+    conversion, with the printing mapped inside the scraper."""
+    return S.scrape_either(html, content.map(print_md))

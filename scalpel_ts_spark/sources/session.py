@@ -28,10 +28,38 @@ def get_spark(
     if shuffle_partitions is None:
         # 1x cores locally; a real cluster submit would use 2-3x total cores
         shuffle_partitions = max(cores, 8)
+    # Respect spark-submit: programmatic conf has the HIGHEST
+    # precedence, so unconditionally setting master/shuffle-partitions
+    # here would silently turn a `spark-submit --master yarn --conf
+    # spark.sql.shuffle.partitions=...` cluster job (the tools/
+    # package.py launch recipe) into a driver-local local[N] run.
+    # Detection is by LAUNCH CONTEXT, not SparkConf.contains():
+    # pyspark-shell's own launcher defaults spark.master=local[*], so
+    # once the gateway is up the property is ALWAYS present and a
+    # contains() probe would also stop plain-local callers from
+    # getting exactly `cores` slots (which the scaling bench's
+    # local[1]-vs-local[4] children depend on).
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ  # real spark-submit driver
+    external_master = under_submit or "--master" in submit_args
+    external_shuffle = "spark.sql.shuffle.partitions" in submit_args
+    if under_submit and not external_shuffle:
+        from pyspark import SparkConf
+
+        # the submit JVM is already up: its system properties are
+        # visible, so honor a --conf/spark-defaults shuffle setting
+        external_shuffle = SparkConf().contains(
+            "spark.sql.shuffle.partitions"
+        )
+    builder = SparkSession.builder.appName(app_name)
+    if not external_master:
+        builder = builder.master(f"local[{cores}]")
+    if not external_shuffle:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -51,11 +79,15 @@ def get_spark(
     # noise that a per-executor-SSD cluster does not have
     # (BASELINE.md measurement protocol).  SPARK_GRAFT_LOCAL_DIR
     # overrides either way.
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    # applied AFTER extra_conf: the env var must override a
+    # caller-supplied spark.local.dir too (builder is last-write-wins,
+    # and both this comment block and tmpfs_local_dir promise the env
+    # override wins "either way")
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

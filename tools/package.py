@@ -25,12 +25,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def build(out_path: str | None = None) -> str:
     out_path = out_path or os.path.join(ROOT, "dist", "scalpel_ts_spark.zip")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    out_dir = os.path.dirname(out_path)
+    if out_dir:  # bare filename: makedirs("") would raise
+        os.makedirs(out_dir, exist_ok=True)
     pkg = os.path.join(ROOT, "scalpel_ts_spark")
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for dirpath, _dirnames, filenames in os.walk(pkg):
-            if "__pycache__" in dirpath:
-                continue
+        for dirpath, dirnames, filenames in os.walk(pkg):
+            # prune (don't descend) __pycache__, and sort the walk so
+            # the zip's entry order — hence its bytes — is
+            # filesystem-independent and reproducible
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
             for fn in sorted(filenames):
                 if not fn.endswith(".py"):
                     continue
