@@ -717,3 +717,43 @@ def test_seq_of_rejects_malformed_seed():
     assert seq_of(make_url(3, 7)) == 3 * 1_000_000_000 + 7
     with _pytest.raises(ValueError, match="malformed synthetic URL"):
         seq_of("http://h3.test/page/7")  # wrong path shape
+
+
+def test_crawl_invariants_oracle_matches_simulator():
+    """The driver's crawl_invariants oracle row pins constant VALUES
+    (__spark_entry__._CRAWL_INVARIANTS_SQL) derived from the executable
+    spec.  Re-derive them from plans/simulator.py here so a change to
+    the crawl policy (or a typo in the pinned constants) fails pytest
+    instead of surfacing only in the driver's correctness loop."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sim = simulate_crawl(
+        [make_url(h, 0) for h in range(6)], 3, cap=4, refill=2, n_hosts=8
+    )
+    per = {}
+    urls = []
+    for e in sim.fetch_log:
+        r = e["round"]
+        per.setdefault(r, {}).setdefault(e["host_id"], 0)
+        per[r][e["host_id"]] += 1
+        urls.append(e["url"])
+    dup_total = len(urls) - len(set(urls))
+    derived = sorted(
+        (
+            r,
+            sum(hosts.values()),
+            len(hosts),
+            max(hosts.values()),
+            dup_total,
+        )
+        for r, hosts in per.items()
+    )
+    pinned = sorted(
+        tuple(row)
+        for row in duckdb.connect()
+        .execute(E.oracle_sql()["crawl_invariants"])
+        .fetchall()
+    )
+    assert derived == pinned
