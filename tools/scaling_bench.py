@@ -105,8 +105,15 @@ def child(cores: int) -> None:
     # politeness budget must cover the whole frontier (cap x n_hosts
     # >= seeded URLs) so the macro-round fetches everything it seeded
     cap = max(4096, PAGES_PER_HOST + 256)
+    # SCALING_NARROW=1 measures the hash-only bucket-cogroup probe
+    # (operators/seen.new_urls(narrow=True)) at THIS scale: the shape
+    # loses at bench scale on 32 unpinned cores (BASELINE.md narrow-
+    # probe A/B), but the pinned 1->4-core pair is bandwidth-starved in
+    # exactly the section the narrow shape shrinks, so the trade is
+    # re-measured where it matters before any deploy-knob guidance.
+    narrow = os.environ.get("SCALING_NARROW", "0") == "1"
     eng = CrawlEngine(spark, wd, n_hosts=N_HOSTS, cap=cap, refill=cap // 2,
-                      salt_buckets=32, write_docs=True)
+                      salt_buckets=32, write_docs=True, narrow_probe=narrow)
     seeds = spark.range(N_HOSTS * PAGES_PER_HOST).select(
         F.concat(
             F.lit("http://h"), (F.col("id") % N_HOSTS).cast("string"),
@@ -119,13 +126,23 @@ def child(cores: int) -> None:
     # stretches, and the pinned child burns only cores/32 of the box —
     # a busy_pct far above that, or nonzero steal, marks a noisy pair
     # so the artifact classifies quiet vs noisy on data, not prose.
-    from bench import _cpu_sample, _host_pct  # noqa: E402
+    from bench import _calib, _cpu_sample, _host_pct  # noqa: E402
 
+    # regime yardstick (same fixed pure-JVM job bench.py interleaves):
+    # at a pinned core count its wall quantifies the box's CURRENT
+    # effective per-core throughput, so cross-night section drift in
+    # the bandwidth-bound stages is attributable from the artifact
+    # alone.  One untimed warm rep, then the recorded one.
+    _calib(spark)
+    calib_sec = _calib(spark)
     cpu0 = _cpu_sample()
     t0 = time.time()
     metrics = eng.run(ROUNDS)
     dt = time.time() - t0
     host = _host_pct(cpu0, _cpu_sample())
+    host["calib_jvm_sec"] = calib_sec
+    if narrow:
+        host["narrow_probe"] = True
     fetched = sum(m["fetched"] for m in metrics)
     sections: dict = {}
     for m in metrics:
@@ -197,14 +214,28 @@ def main() -> None:
         per_pair.append(
             round((r4["urls_per_sec"] / rn["urls_per_sec"]) / 4, 3)
         )
-        pair_host.append({
+        ph = {
             f"local{CORES_N}": {
-                k: rn[k] for k in ("busy_pct", "steal_pct") if k in rn
+                k: rn[k] for k in ("busy_pct", "steal_pct", "calib_jvm_sec") if k in rn
             },
             f"local{CORES_4N}": {
-                k: r4[k] for k in ("busy_pct", "steal_pct") if k in r4
+                k: r4[k] for k in ("busy_pct", "steal_pct", "calib_jvm_sec") if k in r4
             },
-        })
+        }
+        if "calib_jvm_sec" in rn and "calib_jvm_sec" in r4:
+            # the fixed pure-JVM yardstick's own N->4N speedup is the
+            # box's DELIVERED scaling for these two processes (<= 4 when
+            # neighbors squeeze shared bandwidth between the children —
+            # invisible to steal%, which only counts CPU).  Crawl
+            # efficiency divided by it isolates ENGINE-added scaling
+            # loss from box-delivery loss; both numbers stay in the
+            # artifact, raw pair efficiency remains the headline.
+            delivered = rn["calib_jvm_sec"] / r4["calib_jvm_sec"]
+            ph["calib_delivered_scaling"] = round(delivered, 2)
+            ph["calib_normalized_eff"] = round(
+                (r4["urls_per_sec"] / rn["urls_per_sec"]) / delivered, 3
+            )
+        pair_host.append(ph)
     med_n = statistics.median(thr[CORES_N])
     med_4n = statistics.median(thr[CORES_4N])
     print(json.dumps({
