@@ -29,6 +29,7 @@ from scalpel_ts_spark.functions.url import (
 from scalpel_ts_spark.operators.dedup import (
     exact_duplicates,
     minhash_near_duplicates,
+    winnow_duplicates,
 )
 from scalpel_ts_spark.operators.extract import extract_spans_udf, scrape_udf
 from scalpel_ts_spark.operators.seen import build_bloom, new_urls
@@ -615,6 +616,50 @@ WHERE inter * 10000 >= uni * 8000
 """
 
 
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint per document (Schleimer et al., SIGMOD
+    2003): sorted distinct window-minimum k-gram hashes, computed as a
+    pure JVM higher-order-function pipeline (no Python in the path).
+    """
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.winnow_fingerprints(F.col("text")).alias("fps")
+    )
+
+
+def _fingerprint_winnow_sql() -> str:
+    return (
+        f"SELECT doc_id, {T.winnow_fingerprints_sql('text')} AS fps "
+        f"FROM documents"
+    )
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs: lossless fingerprint equi-join
+    candidates, verified by exact fingerprint-set Jaccard >= 0.5.
+    The oracle is the FULL all-pairs computation, so a green row also
+    proves the candidate join loses nothing at this scale.
+    """
+    return winnow_duplicates(_tbl(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _dedup_winnow_sql() -> str:
+    fps = T.winnow_fingerprints_sql("text")
+    return f"""
+WITH fp AS (
+  SELECT doc_id, {fps} AS fps
+  FROM documents WHERE text IS NOT NULL),
+nz AS (SELECT * FROM fp WHERE len(fps) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.fps, b.fps)) AS inter,
+         len(a.fps) + len(b.fps) - len(list_intersect(a.fps, b.fps)) AS uni
+  FROM nz a, nz b WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, inter, uni FROM pairs
+WHERE inter * 10000 >= uni * 5000
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -1081,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "fingerprint_winnow": q_fingerprint_winnow,
+        "dedup_winnow": q_dedup_winnow,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1119,6 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": _lang_distribution_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "dedup_minhash": _dedup_minhash_sql(),
+        "fingerprint_winnow": _fingerprint_winnow_sql(),
+        "dedup_winnow": _dedup_winnow_sql(),
         "ann_bruteforce": _ann_bruteforce_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_lsh": _ANN_LSH_SQL,

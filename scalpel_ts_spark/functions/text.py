@@ -150,6 +150,111 @@ def fingerprint_sql(col: str) -> str:
     return rf"md5(regexp_replace(lower(trim({col})), '[{_WS}]+', ' ', 'g'))"
 
 
+def _winnow_norm(text: Column) -> Column:
+    """Winnowing's normalized text: lowercased, whitespace-collapsed."""
+    return F.regexp_replace(F.lower(F.trim(text)), rf"[{_WS}]+", " ")
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding for a Column expression: evaluate ``value`` ONCE
+    per row and pass it to ``body`` as a lambda variable.
+
+    Catalyst evaluates a higher-order-function lambda's captured
+    expression tree PER ELEMENT — ``transform(idx, i -> f(expensive,
+    i))`` recomputes ``expensive`` for every ``i``, turning the
+    winnowing window scan into O(n^2) md5 calls per document.
+    Wrapping the expensive value in a single-element array and
+    referencing it as the lambda parameter makes every inner use a
+    cheap bound-variable read.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 16) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): the sorted distinct set of window-minimum k-gram
+    hashes.
+
+    Pipeline (all JVM-side higher-order functions, no Python):
+
+    1. normalize: lowercase + collapse whitespace (same rule as
+       :func:`fingerprint`)
+    2. hash every character ``k``-gram — md5 stands in for the paper's
+       Rabin rolling hash because it is bit-identical across Spark and
+       DuckDB (the oracle contract); a rolling hash computes the same
+       per-gram values incrementally and selection is unchanged
+    3. slide a ``w``-hash window, keep each window's MINIMUM hash
+    4. distinct + sort -> the fingerprint set
+
+    Guarantee: any substring match of length >= ``w + k - 1`` between
+    two documents contributes at least one SHARED fingerprint, so an
+    equi-join on exploded fingerprints is a lossless candidate
+    generator for that match length (the MOSS index shape).
+
+    Edge cases are pinned to equal the DuckDB mirror exactly:
+    fewer than ``k`` chars -> empty array (no grams); between 1 and
+    ``w-1`` grams -> one window over all of them (min of all hashes);
+    NULL text -> NULL.
+    """
+    empty = F.array().cast("array<int>")
+
+    def hashes_of(s: Column) -> Column:
+        n_grams = F.length(s) - F.lit(k - 1)
+        gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+            empty
+        )
+        return F.transform(gram_idx, lambda i: F.md5(s.substr(i, F.lit(k))))
+
+    def windows_of(h: Column) -> Column:
+        n_win = F.when(
+            F.size(h) >= 1, F.greatest(F.size(h) - F.lit(w - 1), F.lit(1))
+        ).otherwise(F.lit(0))
+        win_idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+            empty
+        )
+        sels = F.transform(win_idx, lambda j: F.array_min(F.slice(h, j, w)))
+        return F.array_sort(F.array_distinct(sels))
+
+    # _let keeps the normalized text and the hash array single-
+    # evaluation: without it the window transform re-evaluates the
+    # whole md5 array per window (O(n^2) md5s per document)
+    return _let(
+        _winnow_norm(text), lambda s: _let(hashes_of(s), windows_of)
+    )
+
+
+def winnow_fingerprints_sql(col: str, k: int = 8, w: int = 16) -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints`.
+
+    Uses the same let-binding trick as the Spark side (``_let``):
+    DuckDB, like Catalyst, re-evaluates a lambda's captured
+    subexpressions PER ELEMENT, so referencing the md5 array directly
+    inside the window lambda costs O(n^2) md5 calls per document
+    (measured 66x on 100 windows).  Binding it as a single-element
+    list's lambda parameter makes inner references cheap.
+    ``list_slice`` is (begin, end)-indexed, vs Spark's (start,
+    length) — both clamp at the array end, which is what makes the
+    short-document window agree cross-engine.
+    """
+    s = rf"regexp_replace(lower(trim({col})), '[{_WS}]+', ' ', 'g')"
+    hashes = (
+        f"list_transform(range(1, greatest(length(s_) - {k - 1}, 0) + 1), "
+        f"i -> md5(substr(s_, i, {k})))"
+    )
+    n_win = (
+        f"(CASE WHEN len(h_) >= 1 "
+        f"THEN greatest(len(h_) - {w - 1}, 1) ELSE 0 END)"
+    )
+    windows = (
+        f"list_sort(list_distinct(list_transform(range(1, {n_win} + 1), "
+        f"j -> list_min(list_slice(h_, j, j + {w - 1})))))"
+    )
+    return (
+        f"list_transform([{s}], s_ -> "
+        f"list_transform([{hashes}], h_ -> {windows})[1])[1]"
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the unit set for Jaccard dedup).
 

@@ -32,7 +32,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from scalpel_ts_spark.functions.text import fingerprint, word_shingles
+from scalpel_ts_spark.functions.text import (
+    fingerprint,
+    winnow_fingerprints,
+    word_shingles,
+)
 
 _MERSENNE61 = (1 << 61) - 1
 
@@ -546,6 +550,96 @@ def connected_components(
 
 
 # --- SimHash ---------------------------------------------------------------
+
+
+def winnow_duplicates(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    w: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
+    pipeline: Schleimer/Wilkerson/Aiken, SIGMOD 2003 §5).
+
+    Candidate generation is an equi-join on exploded selected
+    fingerprints — winnowing guarantees any shared substring of
+    length >= ``w + k - 1`` shares a fingerprint, so for overlap
+    thresholds > 0 the equi-join is a LOSSLESS prefilter of the
+    all-pairs scope (same role the LSH band join plays for minhash,
+    but with a hard guarantee instead of a probabilistic one).
+    Verification recomputes exact fingerprint-set Jaccard on the
+    candidate pairs only.
+
+    Scale shape: per-doc fingerprinting is a pure JVM map stage; the
+    only shuffles are the fingerprint equi-join (fan-out bounded by
+    winnowing's ~2/(w+1) selection density) and the candidate
+    dedup.  No all-pairs anywhere.
+
+    **Frequent-fingerprint skew** (``max_fp_freq``): a fingerprint
+    shared by ``c`` documents contributes ``c·(c-1)/2`` joined rows,
+    so boilerplate grams make the candidate join quadratic in the
+    duplication factor (measured on the synthetic corpus: 10x docs →
+    ~100x candidate rows, hottest fp in 24% of docs).  Passing
+    ``max_fp_freq=N`` drops fingerprints occurring in more than ``N``
+    docs from CANDIDATE GENERATION only (verification still uses full
+    sets, so reported inter/uni are unchanged).  Recall contract: a
+    pair is missed only if EVERY fingerprint it shares occurs in
+    > ``N`` docs — i.e. the pair's entire overlap is corpus-wide
+    boilerplate.  ``None`` (default) keeps the lossless join; that is
+    what the all-pairs oracle checks.
+
+    Output: (id_a, id_b, inter, uni) with id_a < id_b — integer set
+    sizes, float-free like :func:`jaccard_pairs`.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fps = (
+        df.repartition(par, id_col)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            winnow_fingerprints(F.col(text_col), k, w).alias("fps"),
+        )
+        # a doc with no grams (shorter than k) has no fingerprints and
+        # can never share one; drop it before the explode
+        .filter(F.size("fps") > 0)
+    )
+    fps.persist()
+    exploded = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    if max_fp_freq is not None:
+        # one extra hash-aggregate (map-side partial) + a re-join on
+        # the same fp key; both shuffles are on the already-exploded
+        # narrow (fp, id) rows
+        rare = (
+            exploded.groupBy("fp")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") <= max_fp_freq)
+            .select("fp")
+        )
+        exploded = exploded.join(rare, "fp")
+    cands = (
+        exploded.select(F.col("fp"), F.col(id_col).alias("id_a"))
+        .join(
+            exploded.select(F.col("fp"), F.col(id_col).alias("id_b")),
+            "fp",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cands.join(
+            fps.select(F.col(id_col).alias("id_a"), F.col("fps").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            fps.select(F.col(id_col).alias("id_b"), F.col("fps").alias("sh_b")),
+            "id_b",
+        )
+    )
+    return _verify_jaccard(pairs, threshold)
 
 
 def simhash_udf():
