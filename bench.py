@@ -60,6 +60,7 @@ PIPELINE_QUERIES = [
     "dedup_minhash",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_winnow",  # new in r5 — totals are +~9s vs r1-r4 query sets
     "text_stats",
     "ann_bruteforce",
     "ann_lsh",
@@ -277,6 +278,9 @@ def main() -> None:
             "query_reps": QUERY_REPS,
             "warmup_excluded": True,
             "crawl_includes_init": True,  # same boundary as r1-r4
+            # r5 added one pipeline query; 'value' (the sum) is not
+            # directly comparable to r1-r4 totals without subtracting it
+            "queries_added_this_round": ["dedup_winnow"],
         },
         **extra,
     }

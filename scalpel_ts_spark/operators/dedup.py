@@ -560,6 +560,7 @@ def winnow_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_fp_freq: int | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
     pipeline: Schleimer/Wilkerson/Aiken, SIGMOD 2003 §5).
@@ -593,6 +594,11 @@ def winnow_duplicates(
 
     Output: (id_a, id_b, inter, uni) with id_a < id_b — integer set
     sizes, float-free like :func:`jaccard_pairs`.
+
+    The fingerprint frame is persisted (it feeds the explode and both
+    verification joins); loop callers pass ``persisted_out`` to
+    receive it for unpersisting after the action — the same cache
+    contract as :func:`minhash_near_duplicates`.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     fps = (
@@ -607,6 +613,8 @@ def winnow_duplicates(
         .filter(F.size("fps") > 0)
     )
     fps.persist()
+    if persisted_out is not None:
+        persisted_out.append(fps)
     exploded = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
     if max_fp_freq is not None:
         # one extra hash-aggregate (map-side partial) + a re-join on

@@ -108,6 +108,22 @@ def test_bloom_split_sends_only_suspects_to_antijoin(spark):
     assert "Union" in plan
 
 
+def test_winnow_dedup_plan_is_equijoin_and_jvm_only(spark):
+    """The winnowing near-dup plan must be (a) pure JVM — the md5 /
+    window-min pipeline is higher-order functions, never a Python UDF
+    — and (b) equi-joins throughout: candidate generation joins on the
+    fingerprint VALUE; nothing may degrade to a cartesian/BNLJ (the
+    all-pairs shape winnowing exists to avoid)."""
+    import __spark_entry__ as E
+
+    q = E.q_dedup_winnow(spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for python_marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_marker not in plan
+    for allpairs_marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert allpairs_marker not in plan
+
+
 def test_text_stats_stays_in_wholestage_codegen(spark):
     import __spark_entry__ as E
 
