@@ -172,6 +172,28 @@ def test_winnow_stop_fingerprint_cap(spark):
         assert all(all_fps.count(f) > 4 for f in fa & fb)
 
 
+def test_winnow_pairs_feed_component_clustering(spark):
+    """Composability: winnow pairs are (id_a, id_b) edges, so the
+    keep-one-per-cluster primitive consumes them directly — an exact
+    dup + its near-dup + the original must land in ONE component."""
+    from scalpel_ts_spark.operators.dedup import connected_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = [
+        (0, base),
+        (1, base + " with a small suffix change"),
+        (2, "completely unrelated content about spark shuffles"),
+        (3, base),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    pairs = winnow_duplicates(df, threshold=0.5)
+    comp = {
+        r["v"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comp[0] == comp[1] == comp[3] == 0
+    assert 2 not in comp  # no edges -> not part of any dup cluster
+
+
 def test_winnow_short_doc_single_window(spark):
     """k <= len < k+w-1: one window over all grams -> exactly the
     minimum hash survives."""
