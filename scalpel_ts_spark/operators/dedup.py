@@ -139,8 +139,15 @@ def _verify_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
             inter.alias("inter"),
             uni.alias("uni"),
         )
-        # integer cross-multiplication: inter/uni >= num/den, float-free
-        .filter(F.col("inter") * den >= F.col("uni") * num)
+        # integer cross-multiplication: inter/uni >= num/den, float-free.
+        # The long cast matters at scale: set sizes are int32, and a
+        # multi-million-element set times den=10_000 overflows int32 —
+        # ANSI mode (Spark 4 default) turns that into a job-killing
+        # ARITHMETIC_OVERFLOW instead of a wrong answer
+        .filter(
+            F.col("inter").cast("long") * den
+            >= F.col("uni").cast("long") * num
+        )
     )
 
 
@@ -654,7 +661,12 @@ def winnow_duplicates(
                 "inter",
                 (F.col("_na") + F.col("_nb") - F.col("inter")).alias("uni"),
             )
-            .filter(F.col("inter") * den >= F.col("uni") * num)
+            # long cast: see _verify_jaccard (int32 * den overflows on
+            # multi-million-fingerprint documents; ANSI mode throws)
+            .filter(
+                F.col("inter").cast("long") * den
+                >= F.col("uni").cast("long") * num
+            )
         )
     # Capped path: hot fingerprints leave candidate generation, so the
     # join count would UNDERCOUNT the true intersection — verification
