@@ -620,18 +620,34 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint per document (Schleimer et al., SIGMOD
     2003): sorted distinct window-minimum k-gram hashes, computed as a
     pure JVM higher-order-function pipeline (no Python in the path).
+
+    The driver row exposes the set as scalars — count + md5 digest of
+    the sorted elements (exact value coverage; the sort makes the
+    concatenation deterministic) — because every other oracle query
+    compares scalar columns and an array column would ride an
+    untested path of the driver's value-hasher.  The raw arrays are
+    compared cross-engine in tests/test_winnow.py.
     """
     docs = _tbl(spark, sf_dir, "documents")
+    # two projections on purpose: fps is used twice below, and
+    # CollapseProject keeps non-cheap multi-use producer expressions
+    # un-inlined, so the fingerprint pipeline evaluates once per row
     return docs.select(
         "doc_id", T.winnow_fingerprints(F.col("text")).alias("fps")
+    ).select(
+        "doc_id",
+        F.size("fps").alias("n_fp"),
+        F.md5(F.concat_ws("", "fps")).alias("fp_digest"),
     )
 
 
 def _fingerprint_winnow_sql() -> str:
-    return (
-        f"SELECT doc_id, {T.winnow_fingerprints_sql('text')} AS fps "
-        f"FROM documents"
-    )
+    return f"""
+SELECT doc_id, len(fps) AS n_fp,
+       md5(array_to_string(fps, '')) AS fp_digest
+FROM (SELECT doc_id, {T.winnow_fingerprints_sql('text')} AS fps
+      FROM documents)
+"""
 
 
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
