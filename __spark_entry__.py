@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from scalpel_ts_spark.functions import split as SP
 from scalpel_ts_spark.functions import text as T
 from scalpel_ts_spark.functions.url import (
     canonicalize_url,
@@ -559,6 +560,56 @@ def _lang_distribution_sql() -> str:
         f"SELECT {T.lang_id_sql('text')} AS lang_pred, count(*) AS n "
         f"FROM documents GROUP BY 1"
     )
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on doc_id.
+
+    Pure map stage (md5 bucket + integer CASE, whole-stage codegen):
+    at 100 TB this fuses into the scan with zero shuffle, and a
+    document's split never changes as the corpus grows.
+    """
+    docs = _tbl(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        SP.hash_bucket(key, salt="split").alias("bucket"),
+        SP.split_assign(key, _SPLIT_WEIGHTS).alias("split"),
+    )
+
+
+def _dataset_split_sql() -> str:
+    return f"""
+SELECT doc_id,
+       {SP.hash_bucket_sql('doc_id', salt='split')} AS bucket,
+       {SP.split_assign_sql('doc_id', _SPLIT_WEIGHTS)} AS split
+FROM documents
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample (en 50%, de 25%, other
+    10%) — the rebalancing step of a training-mixture pipeline.
+
+    The keep decision salts its buckets differently from the split
+    above, so sampling is independent of split assignment.
+    """
+    docs = _tbl(spark, sf_dir, "documents")
+    lang = T.lang_id(F.col("text"))
+    keep = SP.stratified_keep(
+        F.col("doc_id"), lang, _SAMPLE_FRACTIONS, default=0.1
+    )
+    return docs.filter(keep).select("doc_id", lang.alias("lang_pred"))
+
+
+def _sample_stratified_sql() -> str:
+    lang = T.lang_id_sql("text")
+    keep = SP.stratified_keep_sql("doc_id", lang, _SAMPLE_FRACTIONS, default=0.1)
+    return f"SELECT doc_id, {lang} AS lang_pred FROM documents WHERE {keep}"
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,6 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_lineitem": q_topk_lineitem,
         "text_stats": q_text_stats,
         "lang_distribution": q_lang_distribution,
+        "dataset_split": q_dataset_split,
+        "sample_stratified": q_sample_stratified,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1180,6 +1233,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_lineitem": _TOPK_LINEITEM_SQL,
         "text_stats": _text_stats_sql(),
         "lang_distribution": _lang_distribution_sql(),
+        "dataset_split": _dataset_split_sql(),
+        "sample_stratified": _sample_stratified_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "dedup_minhash": _dedup_minhash_sql(),
         "fingerprint_winnow": _fingerprint_winnow_sql(),

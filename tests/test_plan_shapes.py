@@ -134,3 +134,26 @@ def test_text_stats_stays_in_wholestage_codegen(spark):
     assert "*(1)" in plan  # at least one whole-stage codegen span
     for python_marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert python_marker not in plan
+
+
+def test_dataset_split_is_shuffle_free_codegen_map(spark):
+    """Split assignment must fuse into the scan: one codegen span, no
+    Exchange, no Python — a pure projection even at 100 TB."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.q_dataset_split(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "*(1)" in plan and "*(2)" not in plan  # ONE codegen span
+    assert "Exchange" not in plan
+    for python_marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_marker not in plan
+    # sampling adds only a pushable filter on top of the same shape
+    plan2 = (
+        E.q_sample_stratified(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan2
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
