@@ -33,6 +33,12 @@ from scalpel_ts_spark.operators.dedup import (
     winnow_duplicates,
 )
 from scalpel_ts_spark.operators.extract import extract_spans_udf, scrape_udf
+from scalpel_ts_spark.operators.quality import (
+    quality_stats,
+    quality_stats_sql,
+    top_ngram_repetition,
+    top_ngram_repetition_sql,
+)
 from scalpel_ts_spark.operators.seen import build_bloom, new_urls
 from scalpel_ts_spark.operators.similarity import (
     brute_force_topk,
@@ -560,6 +566,21 @@ def _lang_distribution_sql() -> str:
         f"SELECT {T.lang_id_sql('text')} AS lang_pred, count(*) AS n "
         f"FROM documents GROUP BY 1"
     )
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality columns + combined keep gate.
+
+    Pure map stage (one codegen span, no shuffle, no Python); the
+    plan-shape gate in tests/test_plan_shapes.py pins that.
+    """
+    return quality_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def q_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-2-gram count/fraction per document (Gopher repetition
+    rule) as explode -> two map-side-combining hash aggregates."""
+    return top_ngram_repetition(_tbl(spark, sf_dir, "documents"), n=2)
 
 
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -1190,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_lineitem": q_topk_lineitem,
         "text_stats": q_text_stats,
         "lang_distribution": q_lang_distribution,
+        "quality_gopher": q_quality_gopher,
+        "repetition_topgram": q_repetition_topgram,
         "dataset_split": q_dataset_split,
         "sample_stratified": q_sample_stratified,
         "dedup_exact": q_dedup_exact,
@@ -1233,6 +1256,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_lineitem": _TOPK_LINEITEM_SQL,
         "text_stats": _text_stats_sql(),
         "lang_distribution": _lang_distribution_sql(),
+        "quality_gopher": quality_stats_sql(),
+        "repetition_topgram": top_ngram_repetition_sql(n=2),
         "dataset_split": _dataset_split_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "dedup_exact": _dedup_exact_sql(),

@@ -255,8 +255,10 @@ def winnow_fingerprints_sql(col: str, k: int = 8, w: int = 16) -> str:
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the unit set for Jaccard dedup).
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams in document order, duplicates KEPT (the multiset
+    the repetition statistics count over — :func:`word_shingles` is
+    this with an ``array_distinct`` on top).
 
     Degenerate guard: with fewer than ``n`` tokens the result is the
     empty array.  (``F.sequence(1, 0)`` would auto-step DOWN to
@@ -269,14 +271,128 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def word_ngrams_sql(col: str, n: int = 3) -> str:
+    toks = tokens_sql(col)
+    return (
+        f"list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the unit set for Jaccard dedup)."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def word_shingles_sql(col: str, n: int = 3) -> str:
+    return f"list_distinct({word_ngrams_sql(col, n)})"
+
+
+def dup_token_ratio(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    ``(n_tokens - n_distinct_tokens) / n_tokens``.
+
+    The Gopher-style repetition signal (Rae et al. 2021 §A1.1 uses
+    line/ngram repetition; token-level is the unit that exists in any
+    corpus, including single-line documents).  One IEEE-754 division
+    of two exact integers — bit-identical across Spark and DuckDB.
+    Denominator is never 0 for non-NULL text (``split('')`` yields
+    ``['']``, size 1); NULL text propagates NULL.
+    """
+    toks = tokens(text)
+    dup = F.size(toks) - F.size(F.array_distinct(toks))
+    return dup.cast("double") / F.size(toks)
+
+
+def dup_token_ratio_sql(col: str) -> str:
     toks = tokens_sql(col)
     return (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+        f"((len({toks}) - len(list_distinct({toks})))::DOUBLE"
+        f" / len({toks}))"
+    )
+
+
+def frac_alpha_tokens(text: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter
+    (tokens are already lowercased, so ``[a-z]`` covers the alphabet;
+    an all-digit/all-symbol token fails — the Gopher "80% of words
+    must contain an alphabetic character" rule).  ASCII-only is a
+    documented heuristic bound, same stance as the stopword lists.
+    """
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return hits.cast("double") / F.size(toks)
+
+
+def frac_alpha_tokens_sql(col: str) -> str:
+    toks = tokens_sql(col)
+    return (
+        f"(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))"
+        f"::DOUBLE / len({toks}))"
+    )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, table A1), adapted to
+# token-level units; every value is a keyword knob on gopher_pass.
+GOPHER_DEFAULTS = dict(
+    min_tokens=50,
+    max_tokens=100_000,
+    min_mean_len=3.0,
+    max_mean_len=10.0,
+    min_alpha_frac=0.8,
+    max_dup_ratio=0.6,
+    min_stop_hits=2,
+)
+
+
+def gopher_pass(text: Column, **overrides) -> Column:
+    """Gopher-style document quality gate as ONE int column (1 keep /
+    0 drop / NULL for NULL text): token-count window, mean-token-length
+    window, >=80% alphabetic tokens, bounded token repetition, and at
+    least ``min_stop_hits`` stopword occurrences.
+
+    Pure Column conjunction — whole-stage codegen, no Python, no
+    shuffle — so the filter runs as a map stage over 100 TB and,
+    used in a ``.filter``, pushes work-elimination ahead of every
+    downstream dedup/ANN/tokenize stage.  Int (not boolean) so the
+    driver's cross-engine value-hash sees identical reprs.
+    """
+    p = {**GOPHER_DEFAULTS, **overrides}
+    toks = tokens(text)
+    n = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n
+    )
+    ok = (
+        (n >= F.lit(p["min_tokens"]))
+        & (n <= F.lit(p["max_tokens"]))
+        & (mean_len >= F.lit(p["min_mean_len"]))
+        & (mean_len <= F.lit(p["max_mean_len"]))
+        & (frac_alpha_tokens(text) >= F.lit(p["min_alpha_frac"]))
+        & (dup_token_ratio(text) <= F.lit(p["max_dup_ratio"]))
+        & (_stop_hits(toks, EN_STOPWORDS) >= F.lit(p["min_stop_hits"]))
+    )
+    return ok.cast("int")
+
+
+def gopher_pass_sql(col: str, **overrides) -> str:
+    p = {**GOPHER_DEFAULTS, **overrides}
+    toks = tokens_sql(col)
+    n = f"len({toks})"
+    mean_len = mean_token_len_sql(col)
+    return (
+        f"CAST(({n} >= {p['min_tokens']} AND {n} <= {p['max_tokens']}"
+        f" AND {mean_len} >= {p['min_mean_len']}"
+        f" AND {mean_len} <= {p['max_mean_len']}"
+        f" AND {frac_alpha_tokens_sql(col)} >= {p['min_alpha_frac']}"
+        f" AND {dup_token_ratio_sql(col)} <= {p['max_dup_ratio']}"
+        f" AND {_stop_hits_sql(toks, EN_STOPWORDS)} >= {p['min_stop_hits']}"
+        f") AS INT)"
     )

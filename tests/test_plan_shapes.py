@@ -157,3 +157,42 @@ def test_dataset_split_is_shuffle_free_codegen_map(spark):
     )
     assert "Exchange" not in plan2
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_quality_gopher_is_shuffle_free_codegen_map(spark):
+    """The Gopher gate is a pure projection: one codegen span, no
+    Exchange, no Python — it must fuse into the scan at 100 TB so
+    quality filtering costs one pass and prunes to (id, text)."""
+    import __spark_entry__ as E
+
+    q = E.q_quality_gopher(spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan and "*(2)" not in plan
+    assert "Exchange" not in plan
+    for python_marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_marker not in plan
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_repetition_topgram_is_two_partial_aggs(spark):
+    """Frequency needs (doc, gram) counts: the right 100-TB shape is
+    explode -> hash-agg -> hash-agg, each with a map-side partial
+    (4 HashAggregate nodes), exactly two exchanges, and no Python.
+    A per-row HOF frequency scan would be O(len^2) per doc; a missing
+    partial agg would shuffle the full exploded gram stream."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.q_repetition_topgram(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert plan.count("HashAggregate") == 4  # partial+final, twice
+    assert "Generate explode" in plan
+    for python_marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_marker not in plan

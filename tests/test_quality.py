@@ -1,0 +1,159 @@
+"""Gopher-style quality stats + top-n-gram repetition: value equality
+against an independent pure-Python reference, cross-engine mirror
+agreement on the edge inputs, and threshold-knob behavior."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_ts_spark.functions import text as T
+from scalpel_ts_spark.operators.quality import (
+    quality_stats,
+    quality_stats_sql,
+    top_ngram_repetition,
+    top_ngram_repetition_sql,
+)
+
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _tokens(text: str) -> list[str]:
+    return _WS_RE.split(text.strip().lower())
+
+
+def _py_quality(text: str) -> dict:
+    toks = _tokens(text)
+    n = len(toks)
+    mean_len = sum(len(t) for t in toks) / n
+    alpha = sum(1 for t in toks if re.search(r"[a-z]", t)) / n
+    dup = (n - len(set(toks))) / n
+    stop_hits = sum(1 for t in toks if t in T.EN_STOPWORDS)
+    p = T.GOPHER_DEFAULTS
+    ok = (
+        p["min_tokens"] <= n <= p["max_tokens"]
+        and p["min_mean_len"] <= mean_len <= p["max_mean_len"]
+        and alpha >= p["min_alpha_frac"]
+        and dup <= p["max_dup_ratio"]
+        and stop_hits >= p["min_stop_hits"]
+    )
+    return dict(
+        n_tokens=n,
+        mean_token_len=mean_len,
+        frac_alpha=alpha,
+        dup_token_ratio=dup,
+        gopher_pass=int(ok),
+    )
+
+
+# 60 distinct-ish words with stopwords -> passes; the others each fail
+# exactly one rule.
+_GOOD = " ".join(
+    f"the word{i} and token{i} is fine" for i in range(10)
+)  # 60 tokens, dup ratio 3*9/60=0.45, stopwords plenty
+_SPAM = " ".join(["spam"] * 60)  # dup ratio 59/60 -> fails repetition
+_SHORT = "the quick brown fox and the lazy dog"  # fails min_tokens
+_DIGITS = " ".join(str(i) for i in range(60))  # fails alpha fraction
+DOCS = [
+    (0, _GOOD),
+    (1, _SPAM),
+    (2, _SHORT),
+    (3, _DIGITS),
+    (4, "a\x0bb " + _GOOD),  # \x0B is a separator in BOTH engines
+    (5, None),  # NULL text -> NULL stats, NULL gate
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_quality_stats_match_python_reference(spark, docs_df):
+    rows = {r["doc_id"]: r.asDict() for r in quality_stats(docs_df).collect()}
+    for doc_id, text in DOCS:
+        got = rows[doc_id]
+        if text is None:
+            assert all(got[k] is None for k in got if k != "doc_id")
+            continue
+        ref = _py_quality(text)
+        for k, v in ref.items():
+            assert got[k] == pytest.approx(v), (doc_id, k)
+    assert rows[0]["gopher_pass"] == 1
+    # each bad doc fails for its designed reason
+    assert rows[1]["gopher_pass"] == 0 and rows[1]["dup_token_ratio"] > 0.6
+    assert rows[2]["gopher_pass"] == 0 and rows[2]["n_tokens"] < 50
+    assert rows[3]["gopher_pass"] == 0 and rows[3]["frac_alpha"] < 0.8
+
+
+def test_quality_sql_mirror_bit_identical(spark, docs_df):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    oracle = {
+        r[0]: r[1:]
+        for r in con.execute(quality_stats_sql()).fetchall()
+    }
+    for r in quality_stats(docs_df).collect():
+        got = (
+            r["n_tokens"], r["mean_token_len"], r["frac_alpha"],
+            r["dup_token_ratio"], r["gopher_pass"],
+        )
+        assert got == oracle[r["doc_id"]], r["doc_id"]  # exact, not approx
+
+
+def test_gopher_thresholds_are_knobs(spark, docs_df):
+    relaxed = quality_stats(
+        docs_df, min_tokens=1, max_dup_ratio=1.0, min_alpha_frac=0.0,
+        min_stop_hits=0, min_mean_len=0.0,
+    )
+    rows = {r["doc_id"]: r["gopher_pass"] for r in relaxed.collect()}
+    assert rows[1] == 1 and rows[2] == 1 and rows[3] == 1
+
+
+def test_top_ngram_repetition_matches_counter(spark, docs_df):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in top_ngram_repetition(docs_df, n=2).collect()
+    }
+    for doc_id, text in DOCS:
+        if text is None:
+            assert doc_id not in got
+            continue
+        toks = _tokens(text)
+        grams = Counter(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+        if not grams:
+            assert doc_id not in got
+            continue
+        row = got[doc_id]
+        assert row["top_gram_count"] == max(grams.values())
+        assert row["n_grams"] == sum(grams.values())
+        assert row["top_gram_frac"] == pytest.approx(
+            max(grams.values()) / sum(grams.values())
+        )
+    # the spam doc is maximally repetitive: one gram owns every slot
+    assert got[1]["top_gram_frac"] == 1.0
+
+
+def test_top_ngram_sql_mirror_agrees(spark, docs_df):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    oracle = sorted(con.execute(top_ngram_repetition_sql(n=2)).fetchall())
+    got = sorted(
+        tuple(r) for r in top_ngram_repetition(docs_df, n=2).collect()
+    )
+    assert got == oracle
+
+
+def test_word_ngrams_keep_duplicates(spark):
+    df = spark.createDataFrame([("a b a b",)], "text string")
+    row = df.select(T.word_ngrams(F.col("text"), 2).alias("g")).collect()[0]
+    assert row["g"] == ["a b", "b a", "a b"]  # order kept, dups kept
