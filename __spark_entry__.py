@@ -34,6 +34,8 @@ from scalpel_ts_spark.operators.dedup import (
 )
 from scalpel_ts_spark.operators.extract import extract_spans_udf, scrape_udf
 from scalpel_ts_spark.operators.quality import (
+    decontaminate,
+    decontaminate_sql,
     quality_stats,
     quality_stats_sql,
     top_ngram_repetition,
@@ -581,6 +583,15 @@ def q_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top word-2-gram count/fraction per document (Gopher repetition
     rule) as explode -> two map-side-combining hash aggregates."""
     return top_ngram_repetition(_tbl(spark, sf_dir, "documents"), n=2)
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document stands in for
+    the held-out eval set; training docs sharing any word 3-gram with
+    it are flagged.  Benchmark gram set is broadcast (plan-gated)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, benchmark, n=3)
 
 
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -1213,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "quality_gopher": q_quality_gopher,
         "repetition_topgram": q_repetition_topgram,
+        "decontamination": q_decontamination,
         "dataset_split": q_dataset_split,
         "sample_stratified": q_sample_stratified,
         "dedup_exact": q_dedup_exact,
@@ -1258,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": _lang_distribution_sql(),
         "quality_gopher": quality_stats_sql(),
         "repetition_topgram": top_ngram_repetition_sql(n=2),
+        "decontamination": decontaminate_sql(n=3),
         "dataset_split": _dataset_split_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "dedup_exact": _dedup_exact_sql(),

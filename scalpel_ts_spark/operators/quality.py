@@ -86,6 +86,82 @@ def top_ngram_repetition(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct word ``n``-grams appear anywhere in the benchmark
+    corpus, and a 0/1 ``contaminated`` flag (any overlap).
+
+    The n-gram-overlap decontamination rule used for LLM training
+    sets (Brown et al. 2020 appendix C uses 13-grams; ``n`` is the
+    knob — the small synthetic corpus tests use 3).
+
+    100-TB shape: benchmark corpora are tiny next to training data
+    (MBs vs TBs), so the benchmark's distinct gram set is broadcast
+    and the training side stays a map + broadcast-hash-join + count —
+    no shuffle of the exploded training grams except the final
+    per-doc count, which map-side partial-combines.  Every document
+    is kept (left join): zero-hit docs report ``n_hit_grams = 0``,
+    so the output is a decision column, not a filtered subset.
+    Set ``broadcast_benchmark=False`` if the benchmark gram set
+    outgrows executor memory; the join then shuffles on gram.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(T.word_shingles(F.col(text_col), n)).alias("gram")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(T.word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    hits = doc_grams.join(bench_grams, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hit_grams"
+            ),
+            (F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(table: str = "documents",
+                      benchmark_where: str = "doc_id % 20 = 0",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> str:
+    """DuckDB mirror; the benchmark is a WHERE-selected subset of the
+    same table (the driver has no second corpus registered)."""
+    sh = T.word_shingles_sql(text_col, n)
+    return f"""
+WITH b AS (
+  SELECT DISTINCT unnest({sh}) AS gram FROM {table}
+  WHERE {benchmark_where}
+),
+d AS (
+  SELECT {id_col}, unnest({sh}) AS gram FROM {table}
+),
+h AS (
+  SELECT {id_col}, count(*) AS n_hits
+  FROM d JOIN b USING (gram) GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       coalesce(h.n_hits, 0) AS n_hit_grams,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM {table} t LEFT JOIN h ON t.{id_col} = h.{id_col}
+"""
+
+
 def top_ngram_repetition_sql(table: str = "documents",
                              id_col: str = "doc_id",
                              text_col: str = "text", n: int = 2) -> str:

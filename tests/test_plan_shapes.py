@@ -196,3 +196,23 @@ def test_repetition_topgram_is_two_partial_aggs(spark):
     assert "Generate explode" in plan
     for python_marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert python_marker not in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set is the small side by construction
+    (benchmarks are MBs; training corpora are TBs): it must ride a
+    BroadcastExchange into a broadcast hash join — a sort-merge join
+    here would shuffle the full exploded training-gram stream."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.q_decontamination(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for python_marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert python_marker not in plan

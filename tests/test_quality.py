@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from scalpel_ts_spark.functions import text as T
 from scalpel_ts_spark.operators.quality import (
+    decontaminate,
+    decontaminate_sql,
     quality_stats,
     quality_stats_sql,
     top_ngram_repetition,
@@ -150,6 +152,58 @@ def test_top_ngram_sql_mirror_agrees(spark, docs_df):
     got = sorted(
         tuple(r) for r in top_ngram_repetition(docs_df, n=2).collect()
     )
+    assert got == oracle
+
+
+def test_decontaminate_matches_python_reference(spark):
+    """Overlap counting vs a set-intersection reference; every doc is
+    kept (zero-hit docs report 0), a benchmark member self-flags, and
+    a doc with no 3-grams (too short) is clean by construction."""
+    train = [
+        (0, "alpha beta gamma delta epsilon zeta"),  # shares grams w/ bench
+        (1, "one two three four five six seven"),    # disjoint
+        (2, "alpha beta gamma unrelated tail words"),  # 1 shared gram
+        (3, "ab"),                                   # < 3 tokens -> no grams
+        (10, "held out eval question answer pairs"),  # IS the benchmark doc
+    ]
+    bench = [(10, "held out eval question answer pairs"),
+             (11, "alpha beta gamma delta something else")]
+    train_df = spark.createDataFrame(train, "doc_id int, text string")
+    bench_df = spark.createDataFrame(bench, "doc_id int, text string")
+
+    def grams(text):
+        t = _tokens(text)
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench))
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(train_df, bench_df, n=3).collect()
+    }
+    assert set(got) == {d for d, _ in train}  # left join keeps all docs
+    for doc_id, text in train:
+        n_hits = len(grams(text) & bench_grams)
+        assert got[doc_id] == (n_hits, int(n_hits > 0)), doc_id
+    assert got[10][1] == 1  # benchmark member self-flags
+    assert got[3] == (0, 0)  # gram-less doc is clean, not dropped
+
+
+def test_decontaminate_sql_mirror_agrees(spark):
+    import duckdb
+
+    docs = [(i, f"word{i} the and filler token{i % 7} is common tail")
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = sorted(
+        tuple(r)
+        for r in decontaminate(
+            df, df.filter(F.col("doc_id") % 20 == 0), n=3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    oracle = sorted(con.execute(decontaminate_sql(n=3)).fetchall())
     assert got == oracle
 
 
