@@ -61,6 +61,9 @@ PIPELINE_QUERIES = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_winnow",  # new in r5 — totals are +~9s vs r1-r4 query sets
+    "quality_gopher",  # new in r5 (late): Gopher gate, map-only
+    "repetition_topgram",  # new in r5 (late): top-2-gram repetition
+    "decontamination",  # new in r5 (late): eval-set n-gram overlap
     "text_stats",
     "ann_bruteforce",
     "ann_lsh",
@@ -280,7 +283,12 @@ def main() -> None:
             "crawl_includes_init": True,  # same boundary as r1-r4
             # r5 added one pipeline query; 'value' (the sum) is not
             # directly comparable to r1-r4 totals without subtracting it
-            "queries_added_this_round": ["dedup_winnow"],
+            "queries_added_this_round": [
+                "dedup_winnow",
+                "quality_gopher",
+                "repetition_topgram",
+                "decontamination",
+            ],
         },
         **extra,
     }

@@ -265,22 +265,31 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     ``[1, 0]`` and the subsequent ``slice(toks, 0, n)`` throws
     INVALID_PARAMETER_VALUE.START — and diverges from the DuckDB
     mirror, whose ``range(1, 0+1)`` is empty.)
+
+    ``_let``-bound token array: the slice lambda references the
+    tokenization, and a captured expression is re-evaluated PER
+    ELEMENT in both engines (see :func:`_let`) — unbound, every gram
+    re-ran the regex split of the whole document, O(len²) per doc
+    (measured 7x on the sf0.1 repetition query: 5.4 s -> 0.73 s).
     """
-    toks = tokens(text)
-    n_grams = F.size(toks) - F.lit(n - 1)
-    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    def build(tk: Column) -> Column:
+        n_grams = F.size(tk) - F.lit(n - 1)
+        idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+
+    return _let(tokens(text), build)
 
 
 def word_ngrams_sql(col: str, n: int = 3) -> str:
-    toks = tokens_sql(col)
-    return (
+    grams = (
         f"list_transform("
-        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+        f"range(1, greatest(len(tk_) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice(tk_, i, i + {n - 1}), ' '))"
     )
+    return f"list_transform([{tokens_sql(col)}], tk_ -> {grams})[1]"
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
