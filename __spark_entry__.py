@@ -594,6 +594,57 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, benchmark, n=3)
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data funnel as ONE row: how many documents survive
+    each curation stage (total -> Gopher quality gate -> exact-dedup
+    uniques -> decontaminated uniques).  Composes the quality gate,
+    md5 fingerprint dedup, and benchmark decontamination in a single
+    plan — the integration row for the pipeline ops.
+
+    Shape: one map stage (gate + fingerprint), one broadcast gram
+    semi-join (decontamination), one final hash-aggregate; the
+    distinct counts ride count(DISTINCT CASE ...) so all four funnel
+    numbers come out of a single aggregation pass.
+    """
+    docs = _tbl(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    flagged = decontaminate(docs, benchmark, n=3).select(
+        "doc_id", "contaminated"
+    )
+    staged = docs.join(flagged, "doc_id").select(
+        T.gopher_pass(F.col("text")).alias("q"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.col("contaminated").alias("c"),
+    )
+    return staged.agg(
+        F.count("*").alias("n_total"),
+        F.sum("q").alias("n_quality"),
+        F.count_distinct(F.when(F.col("q") == 1, F.col("fp"))).alias(
+            "n_unique"
+        ),
+        F.count_distinct(
+            F.when((F.col("q") == 1) & (F.col("c") == 0), F.col("fp"))
+        ).alias("n_clean"),
+    )
+
+
+def _corpus_funnel_sql() -> str:
+    return f"""
+WITH flagged AS ({decontaminate_sql(n=3)}),
+staged AS (
+  SELECT {T.gopher_pass_sql('text')} AS q,
+         {T.fingerprint_sql('text')} AS fp,
+         f.contaminated AS c
+  FROM documents d JOIN flagged f ON d.doc_id = f.doc_id
+)
+SELECT count(*) AS n_total,
+       CAST(sum(q) AS BIGINT) AS n_quality,
+       count(DISTINCT CASE WHEN q = 1 THEN fp END) AS n_unique,
+       count(DISTINCT CASE WHEN q = 1 AND c = 0 THEN fp END) AS n_clean
+FROM staged
+"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
 
@@ -1225,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "repetition_topgram": q_repetition_topgram,
         "decontamination": q_decontamination,
+        "corpus_funnel": q_corpus_funnel,
         "dataset_split": q_dataset_split,
         "sample_stratified": q_sample_stratified,
         "dedup_exact": q_dedup_exact,
@@ -1271,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_gopher": quality_stats_sql(),
         "repetition_topgram": top_ngram_repetition_sql(n=2),
         "decontamination": decontaminate_sql(n=3),
+        "corpus_funnel": _corpus_funnel_sql(),
         "dataset_split": _dataset_split_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "dedup_exact": _dedup_exact_sql(),

@@ -207,6 +207,51 @@ def test_decontaminate_sql_mirror_agrees(spark):
     assert got == oracle
 
 
+def test_corpus_funnel_invariants(spark):
+    """The integration row: funnel counts are monotone by construction
+    (every later stage filters the earlier one) and match a pure-Python
+    recomputation at sf0.001."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    if not __import__("os").path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    row = E.q_corpus_funnel(spark, sf).collect()[0]
+    assert row["n_total"] >= row["n_quality"] >= row["n_unique"] >= row[
+        "n_clean"
+    ] >= 0
+    assert row["n_total"] > 0
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    p = T.GOPHER_DEFAULTS
+
+    def quality(text):
+        q = _py_quality(text)
+        return q["gopher_pass"] == 1
+
+    def fp(text):
+        return " ".join(_tokens(text))  # stands in for md5 (injective here)
+
+    def grams(text):
+        t = _tokens(text)
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    bench = set().union(
+        *(grams(t) for d, t in docs.items() if d % 20 == 0)
+    )
+    passed = {d: t for d, t in docs.items() if quality(t)}
+    uniq = {fp(t) for t in passed.values()}
+    clean = {fp(t) for t in passed.values() if not (grams(t) & bench)}
+    assert row["n_quality"] == len(passed)
+    assert row["n_unique"] == len(uniq)
+    assert row["n_clean"] == len(clean)
+
+
 def test_word_ngrams_keep_duplicates(spark):
     df = spark.createDataFrame([("a b a b",)], "text string")
     row = df.select(T.word_ngrams(F.col("text"), 2).alias("g")).collect()[0]
