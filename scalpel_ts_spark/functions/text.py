@@ -8,6 +8,11 @@ oracle; the pair is kept semantically identical on purpose:
 * tokenization = split lower(trim(text)) on the explicit whitespace
   class ``[ \\t\\n\\x0B\\f\\r]+`` (Java's ``\\s`` includes ``\\x0B``
   but RE2's does not — a bare ``\\s`` would diverge cross-engine)
+* the mirror spells trim as ``trim(col, ' ')``: Spark's ``trim``
+  removes only the ASCII space, but DuckDB's one-argument ``trim``
+  removes every Unicode space INCLUDING NBSP (``\\xa0``), so a bare
+  ``trim(col)`` diverges on NBSP-edged documents (caught by the
+  three-way fuzz in tests/test_quality.py)
 * ratios are a single IEEE-754 division of two exact integers, so
   Spark and DuckDB produce bit-identical doubles
 * fingerprints use md5 (present in both engines) — never engine-
@@ -41,7 +46,7 @@ def tokens(text: Column) -> Column:
 
 
 def tokens_sql(col: str) -> str:
-    return rf"string_split_regex(lower(trim({col})), '[{_WS}]+')"
+    return rf"string_split_regex(lower(trim({col}, ' ')), '[{_WS}]+')"
 
 
 def token_count(text: Column) -> Column:
@@ -147,7 +152,7 @@ def fingerprint(text: Column) -> Column:
 
 
 def fingerprint_sql(col: str) -> str:
-    return rf"md5(regexp_replace(lower(trim({col})), '[{_WS}]+', ' ', 'g'))"
+    return rf"md5(regexp_replace(lower(trim({col}, ' ')), '[{_WS}]+', ' ', 'g'))"
 
 
 def _winnow_norm(text: Column) -> Column:
@@ -236,7 +241,7 @@ def winnow_fingerprints_sql(col: str, k: int = 8, w: int = 16) -> str:
     length) — both clamp at the array end, which is what makes the
     short-document window agree cross-engine.
     """
-    s = rf"regexp_replace(lower(trim({col})), '[{_WS}]+', ' ', 'g')"
+    s = rf"regexp_replace(lower(trim({col}, ' ')), '[{_WS}]+', ' ', 'g')"
     hashes = (
         f"list_transform(range(1, greatest(length(s_) - {k - 1}, 0) + 1), "
         f"i -> md5(substr(s_, i, {k})))"

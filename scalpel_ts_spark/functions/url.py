@@ -44,7 +44,7 @@ def canonicalize_url(url: Column) -> Column:
 
 def canonicalize_url_sql_duckdb(col: str) -> str:
     """DuckDB SQL mirroring :func:`canonicalize_url` (oracle side)."""
-    u = f"regexp_replace(trim({col}), '#.*$', '')"
+    u = f"regexp_replace(trim({col}, ' '), '#.*$', '')"
     authority = rf"regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)', 1)"
     rest = f"substring({u}, length({authority}) + 1)"
     auth = f"lower({authority})"
@@ -61,7 +61,7 @@ def canonicalize_url_sql_duckdb(col: str) -> str:
         f"(CASE WHEN {has_q} AND {qsorted} <> '' THEN '?' || {qsorted} ELSE '' END)"
     )
     return (
-        f"(CASE WHEN {authority} = '' THEN trim({col}) "
+        f"(CASE WHEN {authority} = '' THEN trim({col}, ' ') "
         f"ELSE {auth} || {path} || {tail} END)"
     )
 

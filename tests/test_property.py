@@ -94,6 +94,46 @@ def test_canonicalize_idempotent_batch(spark):
     assert twice.filter("c1 <> c2").count() == 0
 
 
+def test_canonicalize_duckdb_mirror_on_whitespace_edges(spark):
+    """Spark vs the DuckDB oracle mirror on whitespace-edged URLs.
+
+    NBSP is the trap: DuckDB's one-argument trim strips every Unicode
+    space while Spark's strips only ASCII space — the mirror must
+    spell trim(col, ' ') or these inputs silently diverge."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from scalpel_ts_spark.functions.url import (
+        canonicalize_url,
+        canonicalize_url_sql_duckdb,
+    )
+
+    urls = [
+        " http://a.test/p ",
+        "\xa0http://a.test/p",     # NBSP-edged: NOT trimmed, no scheme match
+        "http://a.test/p\xa0",     # NBSP inside the kept tail
+        "\x0bhttp://a.test/p",     # \x0B-edged
+        "HTTP://A.Test:80/p?b=2&a=1#f",
+    ]
+    got = [
+        r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    oracle = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonicalize_url_sql_duckdb('url')} FROM t"
+        ).fetchall()
+    ]
+    assert got == oracle
+
+
 # ---------------------------------------------------------------------------
 # fused crawl-extract pass == combinator path (operators/extract.py)
 # ---------------------------------------------------------------------------

@@ -22,7 +22,10 @@ _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _tokens(text: str) -> list[str]:
-    return _WS_RE.split(text.strip().lower())
+    # strip(" "): SQL trim removes only the space character; Python's
+    # bare strip() also removes \x0b and NBSP and would diverge from
+    # both engines on whitespace-edge inputs (the fuzz catches this)
+    return _WS_RE.split(text.strip(" ").lower())
 
 
 def _py_quality(text: str) -> dict:
@@ -250,6 +253,58 @@ def test_corpus_funnel_invariants(spark):
     assert row["n_quality"] == len(passed)
     assert row["n_unique"] == len(uniq)
     assert row["n_clean"] == len(clean)
+
+
+def test_quality_three_way_fuzz(spark):
+    """Deterministic 200-string fuzz: Spark == DuckDB == pure Python
+    on every quality column, one batch job per engine.
+
+    Alphabet includes the full explicit whitespace class (incl. \\x0B,
+    the char where Java and RE2 \\s definitions diverge), NBSP (NOT a
+    separator — must stay inside tokens in both engines), digits,
+    punctuation, and lowercase-only non-ASCII (lowercase-only so no
+    case-mapping table differences can enter; the tokenizer lowercases
+    everything else).
+    """
+    import random
+
+    import duckdb
+
+    rng = random.Random(0)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\x0b\f\r\xa0"
+        ".,!?#-_/éüñßαя中日"
+    )
+    samples = ["", " ", "\x0b", "\xa0", "the the the"]
+    samples += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(195)
+    ]
+    rows = list(enumerate(samples))
+
+    got = {
+        r["doc_id"]: r
+        for r in quality_stats(
+            spark.createDataFrame(rows, "doc_id int, text string")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {r[0]: r[1:] for r in con.execute(quality_stats_sql()).fetchall()}
+
+    for doc_id, text in rows:
+        s = got[doc_id]
+        spark_vals = (
+            s["n_tokens"], s["mean_token_len"], s["frac_alpha"],
+            s["dup_token_ratio"], s["gopher_pass"],
+        )
+        assert spark_vals == duck[doc_id], (doc_id, repr(text))  # bit-exact
+        ref = _py_quality(text)
+        assert s["n_tokens"] == ref["n_tokens"], repr(text)
+        for k in ("mean_token_len", "frac_alpha", "dup_token_ratio"):
+            assert s[k] == pytest.approx(ref[k]), (repr(text), k)
+        assert s["gopher_pass"] == ref["gopher_pass"], repr(text)
 
 
 def test_word_ngrams_keep_duplicates(spark):
