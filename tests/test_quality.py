@@ -306,6 +306,41 @@ def test_quality_three_way_fuzz(spark):
             assert s[k] == pytest.approx(ref[k]), (repr(text), k)
         assert s["gopher_pass"] == ref["gopher_pass"], repr(text)
 
+    # same batch through the FULL text_stats surface (bpe lexer,
+    # punct ratio, stopword ratio, lang-id, md5 fingerprint, shingle
+    # count) — the columns the driver's oracle only ever sees over
+    # the whitespace-clean synthetic corpus
+    stats = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(rows, "doc_id int, text string")
+        .select(
+            "doc_id",
+            T.bpe_token_count(F.col("text")).alias("bpe"),
+            T.punct_ratio(F.col("text")).alias("punct"),
+            T.stopword_ratio(F.col("text")).alias("stop"),
+            T.lang_id(F.col("text")).alias("lang"),
+            T.fingerprint(F.col("text")).alias("fp"),
+            F.size(T.word_shingles(F.col("text"), 3)).alias("n_sh"),
+        )
+        .collect()
+    }
+    duck2 = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"""SELECT doc_id, {T.bpe_token_count_sql('text')},
+                {T.punct_ratio_sql('text')},
+                {T.stopword_ratio_sql('text')},
+                {T.lang_id_sql('text')}, {T.fingerprint_sql('text')},
+                len({T.word_shingles_sql('text', 3)})
+                FROM documents"""
+        ).fetchall()
+    }
+    for doc_id, text in rows:
+        s = stats[doc_id]
+        assert (
+            s["bpe"], s["punct"], s["stop"], s["lang"], s["fp"], s["n_sh"]
+        ) == duck2[doc_id], (doc_id, repr(text))
+
 
 def test_word_ngrams_keep_duplicates(spark):
     df = spark.createDataFrame([("a b a b",)], "text string")
