@@ -33,6 +33,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from PRE-COMPUTED side norms: ``dot(a,b) / (na * nb)``.
+
+    Bit-identical to :func:`cosine` when ``na``/``nb`` are
+    :func:`norm` of the same vectors — the expression tree is the same
+    IEEE-754 ops in the same order, only evaluated earlier.  The point
+    is O(pairs) vs O(rows) work: a candidate join evaluates cosine once
+    per PAIR, and the two norms are 2/3 of its higher-order-function
+    lambda volume — attaching them per side before the join computes
+    each norm once per row instead of once per pair (candidate volume
+    is a multiple of row count for every ANN/near-dup operator here).
+    """
+    return dot(a, b) / (na * nb)
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB mirror of :func:`cosine` (double-precision, same op order)."""
     ad, bd = f"{a}::DOUBLE[]", f"{b}::DOUBLE[]"

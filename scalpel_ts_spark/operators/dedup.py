@@ -277,9 +277,16 @@ def minhash_near_duplicates(
 
     Output (id_a, id_b, inter, uni), id_a < id_b.
 
-    The shingled frame is persisted (it feeds the signature branch
-    and both verification joins); loop callers pass ``persisted_out``
-    to receive it for unpersisting after the action — the same cache
+    The signature frame (shingles + minhash) is persisted: it feeds
+    both sides of the band self-join AND both verification joins, so
+    without the cache the shingle stage would run three times and the
+    signature UDF up to four (each join side re-evaluated it, plus the
+    optimizer duplicated it around the pushed-down band-key null
+    filter — two ArrowEvalPython nodes per side in the r6 before-plan).
+    Caching *with_sig* instead of the bare shingles (r6) makes every
+    consumer read one materialization: one shingle pass, ONE signature
+    UDF pass.  Loop callers pass ``persisted_out`` to receive the
+    cached frame for unpersisting after the action — the same cache
     contract as :func:`connected_components`.
     """
     if n_bands * rows_per_band > n_perm:
@@ -299,19 +306,16 @@ def minhash_near_duplicates(
             word_shingles(F.col(text_col), shingle_n).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
-        # reused by the signature branch AND both verification joins —
-        # without a persist the shingle stage executes three times
-        .persist()
     )
-    if persisted_out is not None:
-        persisted_out.append(shingled)
     with_sig = shingled.withColumn(
         "minhash", minhash_signature_udf(n_perm)(F.col("shingles"))
-    )
+    ).persist()
+    if persisted_out is not None:
+        persisted_out.append(with_sig)
     cand = lsh_candidate_pairs(
         with_sig, n_bands, rows_per_band, id_col=id_col, sig_col="minhash"
     )
-    sh = shingled.select(F.col(id_col), F.col("shingles"))
+    sh = with_sig.select(F.col(id_col), F.col("shingles"))
     pairs = (
         cand.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -753,10 +757,20 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Pairs with simhash hamming distance <= max_hamming (exact,
     verified after banded candidate generation).  Requires
     ``max_hamming < n_bands`` for losslessness; n_bands fixed at 4.
+
+    The (id, simhash) frame is persisted — it feeds BOTH sides of the
+    band self-join, and without the cache each side re-ran the
+    tokenize + signature pipeline, with the optimizer additionally
+    duplicating the UDF around pushed-down isnotnull filters: the r6
+    before-plan evaluated the simhash UDF SIX times per query where
+    one pass suffices.  The cached frame is two longs per document —
+    negligible at any scale next to the corpus it indexes.  Loop
+    callers pass ``persisted_out`` to unpersist after their action.
     """
     assert max_hamming < 4, "4-band split is lossless only for hamming <= 3"
     from scalpel_ts_spark.functions.text import tokens as tokens_col
@@ -771,7 +785,10 @@ def simhash_near_duplicates(
         # size(shingles) > 0 guard (NULL tokens fail the predicate)
         .filter(F.size("_toks") > 0)
         .select(F.col(id_col), simhash_udf()(F.col("_toks")).alias("simhash"))
+        .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(with_sim)
     bands = with_sim.select(
         F.col(id_col),
         F.col("simhash"),
