@@ -494,10 +494,20 @@ WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
 
 
 def q_topk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted top-k on a real fact table (top-3 items per supplier)."""
+    """Salted top-k on a real fact table (top-3 items per supplier).
+
+    The small single-row-group lineitem file scans as ~3 tasks and the
+    window's map-side partial rank runs at scan parallelism — the
+    size-gated spread moves the per-row ranking onto all cores, keyed
+    by the window's own partition column so no extra exchange appears
+    (no-op at scale; operators/spread.py).
+    """
+    from scalpel_ts_spark.operators.spread import spread_small
+
     li = _tbl(spark, sf_dir, "lineitem")
     return topk_per_group(
-        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        spread_small(li, "l_suppkey")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
         group_cols=["l_suppkey"],
         order_cols=[
             F.col("l_extendedprice").desc(),
