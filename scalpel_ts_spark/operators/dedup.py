@@ -198,22 +198,34 @@ def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
 
     key = xxhash64(band_idx, band values...) via a rolling polynomial
     inside higher-order functions — JVM-side, no Python.
+
+    Built as ONE ``F.expr`` string: composing the 32 per-band
+    ``F.aggregate`` lambdas through the Python API cost ~0.4 s of
+    py4j round-trips per query CONSTRUCTION (~13 ms per higher-order
+    function, measured r6) — a single SQL parse builds the identical
+    expression tree in one hop.  ``sig`` must therefore be a plain
+    column reference (every in-repo caller passes one).
     """
-    def one_band(b: int) -> Column:
-        band = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+    sig_sql = sig._jc.toString()
+    if not sig_sql.isidentifier():
+        raise ValueError(
+            "band_keys: sig must be a simple column reference, got "
+            f"{sig_sql!r}"
+        )
+
+    def one_band(b: int) -> str:
         # acc stays < 2^31 so acc*1000003 + v fits a long (ANSI-safe);
         # 31-bit keys are only a prefilter — verification is exact
-        rolled = F.aggregate(
-            band,
-            F.lit(b + 1).cast("long"),
-            lambda acc, v: F.pmod(
-                acc * F.lit(1_000_003) + F.pmod(v, F.lit(1 << 31)),
-                F.lit((1 << 31) - 1),
-            ),
+        band = f"slice({sig_sql}, {b * rows_per_band + 1}, {rows_per_band})"
+        return (
+            f"aggregate({band}, CAST({b + 1} AS BIGINT), "
+            f"(acc, v) -> pmod(acc * 1000003 + pmod(v, {1 << 31}), "
+            f"{(1 << 31) - 1}))"
         )
-        return rolled
 
-    return F.array(*[one_band(b) for b in range(n_bands)])
+    return F.expr(
+        "array(" + ", ".join(one_band(b) for b in range(n_bands)) + ")"
+    )
 
 
 def lsh_candidate_pairs(
