@@ -181,6 +181,7 @@ class CrawlEngine:
         bloom_target_rows_per_bucket: int = 1_000_000,
         bloom_bits_per_key: int = 10,
         bloom_max_bucket_bytes: int = 64 << 20,
+        bloom_presize_keys: int | None = None,
         narrow_probe: bool = False,
         write_docs: bool = True,
         compact_every: int = 8,
@@ -248,6 +249,19 @@ class CrawlEngine:
         # 10^10-URL design point (10^8-URL rounds) this derives ~800
         # buckets — matching the >=512 the module docstring sizes for.
         expected_discovery = 8 * cap * n_hosts
+        self._expected_discovery = expected_discovery
+        #: init-time bloom sizing headroom in KEYS beyond the seed
+        #: count.  The engine knows a-priori how fast the seen set can
+        #: grow — one round adds at most the discovery budget (~8
+        #: links/page x cap x n_hosts, the same estimate the bucket
+        #: count uses) — so sizing bitmaps only for the SEED set
+        #: guarantees an early full-seen-scan rebuild on any crawl
+        #: whose frontier outgrows its seeds (the bench crawl paid two
+        #: rebuilds inside four rounds, r6 profile: 3-4 s apiece).
+        #: Default None derives the per-round discovery budget; tests
+        #: exercising the resize path pass 0 to keep seed-only sizing.
+        #: Memory stays bounded by bloom_max_bucket_bytes either way.
+        self.bloom_presize_keys = bloom_presize_keys
         self.bloom_target_rows_per_bucket = bloom_target_rows_per_bucket
         self.bloom_buckets = max(
             bloom_buckets,
@@ -331,6 +345,7 @@ class CrawlEngine:
             "bloom_target_rows_per_bucket": self.bloom_target_rows_per_bucket,
             "bloom_bits_per_key": self.bloom_bits_per_key,
             "bloom_max_bucket_bytes": self.bloom_max_bucket_bytes,
+            "bloom_presize_keys": self.bloom_presize_keys,
             "narrow_probe": self.narrow_probe,
             "compact_every": self.compact_every,
             "max_fetch_retries": self.max_fetch_retries,
@@ -340,7 +355,13 @@ class CrawlEngine:
     # --- snapshot IO (thin delegates onto the storage seam) ---------------
 
     def _write(self, df: DataFrame, table: str, rnd: int):
-        self.storage.write(df, table, rnd)
+        # label the write's jobs in the UI (guide §1.5); thread-local,
+        # so each concurrent commit-pool write is labelled correctly
+        self.spark.sparkContext.setJobDescription(f"write {table} r{rnd}")
+        try:
+            self.storage.write(df, table, rnd)
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
 
     def _write_per_host(self, df: DataFrame, table: str, rnd: int):
         """Per-host tables (host_state, robots): one row per host, so
@@ -366,10 +387,16 @@ class CrawlEngine:
         would silently write nothing."""
         est = max(self.n_hosts, self._host_rows)
         write_small = resolve_write_small(self.storage)
-        if write_small is not None and est <= DRIVER_WRITE_MAX_ROWS // 2:
-            write_small(df, table, rnd)
-        else:
-            self.storage.write(_coalesce_for_write(df, est), table, rnd)
+        self.spark.sparkContext.setJobDescription(
+            f"write_small {table} r{rnd}"
+        )
+        try:
+            if write_small is not None and est <= DRIVER_WRITE_MAX_ROWS // 2:
+                write_small(df, table, rnd)
+            else:
+                self.storage.write(_coalesce_for_write(df, est), table, rnd)
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
 
     def _read(self, table: str, rnd: int) -> DataFrame:
         return self.storage.read(table, rnd)
@@ -447,12 +474,26 @@ class CrawlEngine:
             self.spark.createDataFrame([], robots_schema), "robots", 0
         )
         if self.use_bloom:
-            # bitmaps sized for the seed set x4 growth headroom
-            # (~bits_per_key bits/key => ~1% FP until the seen set
-            # quadruples; the compaction rebuild below re-sizes)
+            # bitmaps sized for the seed set PLUS the a-priori
+            # discovery budget, x4 growth headroom (~bits_per_key
+            # bits/key => ~1% FP until the seen set quadruples past
+            # the estimate; the compaction rebuild below re-sizes).
+            # Seed-only sizing forced an early full-seen-scan rebuild
+            # on every crawl whose frontier outgrows its seeds; the
+            # per-bucket byte bound still caps memory, growth beyond
+            # it stays the rebuild path's job.
+            presize = self.bloom_presize_keys
+            if presize is None:
+                presize = self._expected_discovery
             self._bloom_bits = bloom_bits_for(
-                4 * n_seeds, self.bloom_buckets, self.bloom_bits_per_key
+                4 * (n_seeds + presize),
+                self.bloom_buckets,
+                self.bloom_bits_per_key,
             )
+            while self._bloom_bits > 8 * self.bloom_max_bucket_bytes and (
+                self._bloom_bits > 1 << 17
+            ):
+                self._bloom_bits >>= 1
             self._write(
                 build_bloom(
                     frontier,
@@ -612,7 +653,13 @@ class CrawlEngine:
             .alias("tokens"),
         )
         idle = host_state.join(pending_hosts, "host_id", "left_anti")
-        new_state = refreshed.unionByName(idle)
+        # persisted: THREE consumers (the broadcast into the budgeted
+        # selection, the token-spend update, and the host_state write)
+        # would each recompute the frontier-wide host distinct — the
+        # r6 profile showed the host_state commit alone re-running it
+        # for 4s a round at a 700k-row frontier.  The cache is one row
+        # per pending/known host, materialized by the first job.
+        new_state = refreshed.unionByName(idle).persist()
 
         # 2. politeness-budgeted selection: salted top-k per host by
         #    (priority, seq) with k = the host's token balance.
@@ -701,9 +748,17 @@ class CrawlEngine:
         # init/resume pays one parquet-metadata count.
         if self._frontier_rows is None:
             self._frontier_rows = frontier.count()
-        max_par = self.spark.sparkContext.defaultParallelism * 2
+        cores = self.spark.sparkContext.defaultParallelism
+        max_par = cores * 2
         expected = min(self._frontier_rows, self.cap * self.n_hosts)
         par = max(1, min(max_par, -(-expected // 2048)))
+        if par > cores:
+            # wave-even task count: 51 tasks on 32 cores is a full
+            # wave plus a 19-task straggler wave with 13 cores idle —
+            # rounding to a multiple of the core count keeps every
+            # wave full at the same total row volume (r6 profile:
+            # the round-3 fetch stage ran 50 tasks on 32 cores)
+            par = min(max_par, cores * (-(-par // cores)))
         has_err = False
         if self.fetch_stage is not None:
             # no pre-repartition: a grouped fetch stage (http_fetch_
@@ -756,6 +811,9 @@ class CrawlEngine:
         )
         # one job: materialize fetch+extract AND collect per-partition
         # lineage + error counts; n_fetched derives from the lineage
+        self.spark.sparkContext.setJobDescription(
+            f"fetch+extract stats r{r}"
+        )
         stats = (
             fetched_all.groupBy(F.spark_partition_id().alias("pid"))
             .agg(
@@ -764,6 +822,7 @@ class CrawlEngine:
             )
             .collect()
         )
+        self.spark.sparkContext.setJobDescription(None)
         lineage = [
             {"partition": row["pid"], "rows": row["rows"]} for row in stats
         ]
@@ -790,6 +849,7 @@ class CrawlEngine:
         if n_fetched == 0 and (
             denied is None or denied.limit(1).count() == 0
         ):
+            new_state.unpersist()
             fetched_all.unpersist()
             for cached in round_caches:
                 cached.unpersist()
@@ -1213,6 +1273,7 @@ class CrawlEngine:
         for cached in round_caches:
             cached.unpersist()
         new_rules.unpersist()
+        new_state.unpersist()
         fetched_all.unpersist()
         fresh.unpersist()
         _mark("commit")

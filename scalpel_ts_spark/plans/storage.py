@@ -84,12 +84,23 @@ class ParquetSnapshotStorage:
     def __init__(self, spark: SparkSession, workdir: str):
         self.spark = spark
         self.workdir = workdir
+        #: per-table schema cache — METADATA only (the engine writes
+        #: these tables itself, so the schema of round N's read is the
+        #: schema of the round-N write).  Passing it explicitly on
+        #: read skips parquet schema inference, which cost one
+        #: footer-read job per table per round (~6 extra tiny jobs a
+        #: round on a 43-job round loop, r6 profile).  Keyed per
+        #: TABLE, not per round: a table whose schema legitimately
+        #: changes between rounds (fetch_log gaining a status column)
+        #: refreshes the entry on write.
+        self._schemas: dict = {}
 
     def _path(self, table: str, rnd: int) -> str:
         return os.path.join(self.workdir, table, f"r{rnd}")
 
     def write(self, df: DataFrame, table: str, rnd: int) -> None:
         df.write.mode("overwrite").parquet(self._path(table, rnd))
+        self._schemas[table] = df.schema
 
     def write_small(self, df: DataFrame, table: str, rnd: int) -> None:
         """Collect-to-driver + single pyarrow parquet file.
@@ -109,12 +120,19 @@ class ParquetSnapshotStorage:
             shutil.rmtree(path)
         os.makedirs(path)
         pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+        self._schemas[table] = df.schema
+
+    def _reader(self, table: str):
+        schema = self._schemas.get(table)
+        if schema is not None:
+            return self.spark.read.schema(schema)
+        return self.spark.read
 
     def read(self, table: str, rnd: int) -> DataFrame:
-        return self.spark.read.parquet(self._path(table, rnd))
+        return self._reader(table).parquet(self._path(table, rnd))
 
     def read_union(self, table: str, rounds: Sequence[int]) -> DataFrame:
-        return self.spark.read.parquet(
+        return self._reader(table).parquet(
             *[self._path(table, r) for r in rounds]
         )
 

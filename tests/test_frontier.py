@@ -241,9 +241,13 @@ def test_bloom_resizes_as_seen_grows(spark, tmp_path_factory, sim_state):
     # seen is 19 after round 1 (union-path resize), 95 after the
     # compacting round 2 (snapshot-path rebuild).
     wd = str(tmp_path_factory.mktemp("crawl_bloomresize"))
+    # bloom_presize_keys=0 pins seed-only init sizing (the default
+    # derives the discovery budget, which would presize past the
+    # growth this test exists to exercise)
     eng = CrawlEngine(
         spark, wd, n_hosts=N_HOSTS, cap=8, refill=4,
         compact_every=2, bloom_bits_per_key=100_000, write_docs=False,
+        bloom_presize_keys=0,
     )
     eng.init(SEEDS)
     assert eng._bloom_bits == 1 << 17  # 3 seeds: floor geometry
@@ -757,3 +761,31 @@ def test_crawl_invariants_oracle_matches_simulator():
         .fetchall()
     )
     assert derived == pinned
+
+
+def test_bloom_presized_for_discovery_budget_avoids_rebuild(
+    spark, tmp_path_factory
+):
+    # default init sizing covers seeds + the a-priori per-round
+    # discovery budget (8 links/page x cap x n_hosts), so a short
+    # crawl growing well past its seed count triggers NO mid-crawl
+    # full-seen-scan rebuild (the r6 bench crawl paid two inside four
+    # rounds under seed-only sizing); the per-bucket byte bound still
+    # clamps the geometry.
+    from scalpel_ts_spark.operators.seen import bloom_bits_for
+
+    wd = str(tmp_path_factory.mktemp("crawl_bloompresize"))
+    eng = CrawlEngine(
+        spark, wd, n_hosts=N_HOSTS, cap=8, refill=4, write_docs=False,
+    )
+    eng.init(SEEDS)
+    sized = eng._bloom_bits
+    assert sized >= bloom_bits_for(
+        4 * (len(SEEDS) + 8 * 8 * N_HOSTS),
+        eng.bloom_buckets,
+        eng.bloom_bits_per_key,
+    )
+    eng.run(2)
+    assert eng._seen_rows > 4 * len(SEEDS)  # grew well past the seeds
+    assert eng._bloom_bits == sized  # ...with no resize/rebuild
+    assert eng.bloom_buckets == eng.manifest["config"]["bloom_buckets"]
