@@ -36,6 +36,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from scalpel_ts_spark.operators.spread import _plan_size_bytes
+
+#: per-row-k inputs estimated under this take one exact window; the
+#: two-phase salted prune engages above it (or on unknown estimates)
+SINGLE_PHASE_MAX_BYTES = 256 << 20
+
 
 def topk_per_group(
     df: DataFrame,
@@ -47,6 +53,7 @@ def topk_per_group(
     prune_k: int | None = None,
     rank_col: str = "_rank",
     keep_rank: bool = False,
+    single_phase_max_bytes: int | None = None,
 ) -> DataFrame:
     """Keep the top-``k`` rows per group under ``order_cols``.
 
@@ -54,6 +61,19 @@ def topk_per_group(
     count, joined on beforehand) or a literal.  ``salt_col`` defaults
     to a deterministic hash of the ordering key — never random, so
     plans are reproducible.
+
+    ``single_phase_max_bytes``: when the per-row-``k`` input's
+    optimizer size estimate is under this bound, the two-phase salted
+    prune (an extra exchange + window pass, there to bound a monster
+    group's reducer input) is skipped for ONE exact window — at a
+    small absolute input even a fully skewed group is a bounded task,
+    and the salt exchange is pure overhead (the crawl's selection
+    pipeline spent 2 of its ~10 per-round jobs on it at bench scale,
+    r6).  Default None (from ``SINGLE_PHASE_MAX_BYTES``); pass 0 to
+    pin the salted path regardless of size (its precondition tests
+    do).  An unknown estimate reads as huge -> salted path, and the
+    two strategies are row-identical (the salt prune is lossless), so
+    the gate can never change results.
     """
     k_col = F.lit(k) if isinstance(k, int) else k
 
@@ -65,6 +85,15 @@ def topk_per_group(
         # host holding 50%).  Salting below is reserved for per-row k
         # (politeness token quotas), where the rank filter is not a
         # literal and WindowGroupLimit cannot apply.
+        w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+        out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+            F.col(rank_col) <= k_col
+        )
+        return out if keep_rank else out.drop(rank_col)
+
+    if single_phase_max_bytes is None:
+        single_phase_max_bytes = SINGLE_PHASE_MAX_BYTES
+    if _plan_size_bytes(df) < single_phase_max_bytes:
         w = Window.partitionBy(*group_cols).orderBy(*order_cols)
         out = df.withColumn(rank_col, F.row_number().over(w)).filter(
             F.col(rank_col) <= k_col

@@ -454,12 +454,17 @@ class CrawlEngine:
         n_seeds = _obs_count(seed_obs, "n")
         self._frontier_rows = n_seeds
         self._seen_rows = n_seeds
-        self._write(frontier.select("url", "url_hash"), "seen", 0)
-        self._write_per_host(
-            self.spark.createDataFrame([], "host_id long, tokens int"),
-            "host_state",
-            0,
-        )
+        # the remaining round-0 snapshots are independent of each other
+        # (only the bloom sizing needed n_seeds, known now) — submit
+        # them concurrently like the round commit's multi-sink pool
+        init_writes = [
+            (self._write, frontier.select("url", "url_hash"), "seen"),
+            (
+                self._write_per_host,
+                self.spark.createDataFrame([], "host_id long, tokens int"),
+                "host_state",
+            ),
+        ]
         # production robots cache rows carry an exemplar url (for
         # re-fetches) and the consecutive-unreachable counter that
         # bounds how long a 5xx DISALLOW_ALL sentinel sticks (r3
@@ -470,8 +475,12 @@ class CrawlEngine:
             if self.robots_stage is not None
             else "host_id long, disallow_mod int, disallow_rem int"
         )
-        self._write_per_host(
-            self.spark.createDataFrame([], robots_schema), "robots", 0
+        init_writes.append(
+            (
+                self._write_per_host,
+                self.spark.createDataFrame([], robots_schema),
+                "robots",
+            )
         )
         if self.use_bloom:
             # bitmaps sized for the seed set PLUS the a-priori
@@ -494,15 +503,24 @@ class CrawlEngine:
                 self._bloom_bits > 1 << 17
             ):
                 self._bloom_bits >>= 1
-            self._write(
-                build_bloom(
-                    frontier,
-                    n_buckets=self.bloom_buckets,
-                    bits_per_bucket=self._bloom_bits,
-                ),
-                "bloom",
-                0,
+            init_writes.append(
+                (
+                    self._write,
+                    build_bloom(
+                        frontier,
+                        n_buckets=self.bloom_buckets,
+                        bits_per_bucket=self._bloom_bits,
+                    ),
+                    "bloom",
+                )
             )
+        with ThreadPoolExecutor(max_workers=len(init_writes)) as pool:
+            futures = [
+                pool.submit(fn, df, table, 0)
+                for fn, df, table in init_writes
+            ]
+            for fut in futures:
+                fut.result()
         self.round = 0
         self._host_rows = 0
         self.manifest["rounds"] = []
