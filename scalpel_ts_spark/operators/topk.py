@@ -54,6 +54,7 @@ def topk_per_group(
     rank_col: str = "_rank",
     keep_rank: bool = False,
     single_phase_max_bytes: int | None = None,
+    single_phase: bool | None = None,
 ) -> DataFrame:
     """Keep the top-``k`` rows per group under ``order_cols``.
 
@@ -74,6 +75,14 @@ def topk_per_group(
     do).  An unknown estimate reads as huge -> salted path, and the
     two strategies are row-identical (the salt prune is lossless), so
     the gate can never change results.
+
+    ``single_phase``: explicit override of the size gate for callers
+    that KNOW the input's row volume better than the optimizer — the
+    crawl engine tracks its frontier row count arithmetically, while
+    the optimizer's estimate of the frontier-x-broadcast join is junk
+    (cardinality products), so the gate never fires there.  True
+    forces the one-window shape, False the salted shape, None keeps
+    the estimate gate.
     """
     k_col = F.lit(k) if isinstance(k, int) else k
 
@@ -93,7 +102,9 @@ def topk_per_group(
 
     if single_phase_max_bytes is None:
         single_phase_max_bytes = SINGLE_PHASE_MAX_BYTES
-    if _plan_size_bytes(df) < single_phase_max_bytes:
+    if single_phase is None:
+        single_phase = _plan_size_bytes(df) < single_phase_max_bytes
+    if single_phase:
         w = Window.partitionBy(*group_cols).orderBy(*order_cols)
         out = df.withColumn(rank_col, F.row_number().over(w)).filter(
             F.col(rank_col) <= k_col

@@ -686,6 +686,13 @@ class CrawlEngine:
         #    the small side so the frontier is not shuffled for this
         #    join
         budgeted = frontier.join(F.broadcast(new_state), "host_id")
+        # single_phase from the ARITHMETIC frontier row count: the
+        # optimizer's estimate of a frontier-x-broadcast join is a
+        # cardinality product (junk), so topk's own size gate never
+        # fires here.  Under ~2M rows even a monster host's pending
+        # set is one bounded task and the salt phase is a pure extra
+        # exchange + window pass; past it (or untracked) the salted
+        # skew-safe shape engages — both shapes are row-identical.
         candidates = topk_per_group(
             budgeted,
             group_cols=["host_id"],
@@ -693,6 +700,10 @@ class CrawlEngine:
             k=F.col("tokens"),
             salt_buckets=self.salt_buckets,
             prune_k=self.cap,
+            single_phase=(
+                self._frontier_rows is not None
+                and self._frontier_rows <= 2_000_000
+            ),
         ).drop("tokens")
 
         # 2b. robots-before-first-fetch (production path only; round-3
@@ -1084,17 +1095,25 @@ class CrawlEngine:
 
         # 8. commit the round's snapshots.  The seven tables are
         #    independent and their expensive inputs (fetched, fresh,
-        #    new_rules) are already persisted+materialized, so the
-        #    writes are submitted CONCURRENTLY from driver threads —
-        #    Spark schedules them as parallel jobs, collapsing commit
-        #    latency from the sum of seven jobs to roughly the slowest
-        #    one.  (On a cluster this is the standard multi-sink
-        #    pattern; atomicity stays at round granularity because the
-        #    manifest is written only after every future completes.)
+        #    new_rules) are persisted+materialized before their
+        #    consumers race, so the writes are submitted CONCURRENTLY
+        #    from driver threads — Spark schedules them as parallel
+        #    jobs, collapsing commit latency from the sum of seven
+        #    jobs to roughly the slowest one.  (On a cluster this is
+        #    the standard multi-sink pattern; atomicity stays at round
+        #    granularity because the manifest is written only after
+        #    every future completes.)  Tables whose inputs were ALL
+        #    materialized by the stats job (docs, fetch_log,
+        #    host_state read only fetched_all/new_state cache) start
+        #    EARLY, overlapping the seen write's discovery pipeline;
+        #    tables consuming `fresh`/`new_keys` (frontier, bloom,
+        #    robots) wait for the seen write to populate those caches
+        #    — racing them cold would recompute the dedup plan per
+        #    consumer (caches are per-executor on a real cluster).
         nxt = r + 1
-        writes = []
+        early_writes = []
         if self.write_docs:
-            writes.append(
+            early_writes.append(
                 (
                     _coalesce_for_write(
                         content.select(
@@ -1122,7 +1141,7 @@ class CrawlEngine:
         ]
         if has_status:  # 4xx/5xx visibility in the log (ADVICE r2)
             log_cols.append(F.col("status"))
-        writes.append(
+        early_writes.append(
             (
                 _coalesce_for_write(fetched.select(*log_cols), n_fetched),
                 "fetch_log",
@@ -1144,11 +1163,20 @@ class CrawlEngine:
             seen_write = (
                 _coalesce_for_write(seen_delta, n_fetched * 8), "seen"
             )
-        # the seen write runs FIRST, alone: it pulls `fresh` through its
-        # persist (and fires the n_new observation), so the concurrent
-        # writes below read cached blocks — on a multi-executor cluster,
-        # racing cold consumers would each recompute the dedup plan
-        # (caches are per-executor), tripling the most expensive stage
+        # the seen write pulls `fresh` through its persist (and fires
+        # the n_new observation) on the MAIN thread while the early
+        # cache-only writes run beside it; frontier/bloom/robots are
+        # submitted only after it returns (see the step-8 note above)
+        pool = ThreadPoolExecutor(max_workers=8)
+        futures = [
+            pool.submit(self._write, df, table, nxt)
+            for df, table in early_writes
+        ]
+        futures.append(
+            pool.submit(
+                self._write_per_host, host_state_next, "host_state", nxt
+            )
+        )
         self._write(*seen_write, nxt)
         # the seen write carries the whole discovery+dedup pipeline
         # (explode -> canonicalize -> robots filter -> bloom/anti-join),
@@ -1169,14 +1197,14 @@ class CrawlEngine:
             frontier_df = kept.observe(
                 kept_obs, F.count(F.lit(1)).alias("n_kept")
             ).unionByName(fresh)
-        writes.append(
+        late_writes = [
             (
                 _coalesce_for_write(
                     frontier_df, self._frontier_rows + 8 * n_fetched
                 ),
                 "frontier",
             )
-        )
+        ]
         if self.use_bloom:
             # bucket-count growth: when the seen set has outgrown what
             # the current count can hold at <= bloom_max_bucket_bytes
@@ -1238,7 +1266,7 @@ class CrawlEngine:
                 )
             # bitmap rows are ~bits/8 bytes each; pack ~64 MB per file
             # at whatever geometry the bitmaps currently have
-            writes.append(
+            late_writes.append(
                 (
                     _coalesce_for_write(
                         bloom_df,
@@ -1250,20 +1278,20 @@ class CrawlEngine:
                     "bloom",
                 )
             )
-        # per-host tables are one row per host: below the driver-write
-        # bound they skip the distributed write (and its commit-protocol
-        # renames) entirely via storage.write_small
-        small = [(host_state_next, "host_state"), (robots, "robots")]
-        with ThreadPoolExecutor(max_workers=len(writes) + len(small)) as pool:
-            futures = [
-                pool.submit(self._write, df, table, nxt)
-                for df, table in writes
-            ] + [
-                pool.submit(self._write_per_host, df, table, nxt)
-                for df, table in small
-            ]
+        # robots is per-host (write_small fast path) but consumes
+        # new_rules -> new_keys, so it belongs to the late batch
+        futures += [
+            pool.submit(self._write, df, table, nxt)
+            for df, table in late_writes
+        ]
+        futures.append(
+            pool.submit(self._write_per_host, robots, "robots", nxt)
+        )
+        try:
             for fut in futures:
                 fut.result()
+        finally:
+            pool.shutdown()
         if compacted:
             # record the full snapshot only AFTER its write succeeded —
             # marking it earlier would let a failed-then-retried round
