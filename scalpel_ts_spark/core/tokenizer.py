@@ -287,7 +287,15 @@ def parse(source: str) -> list:
             emit_text(unescape(s[i:]))
             break
         if lt > i:
-            emit_text(unescape(s[i:lt]))
+            # inlined emit_text for the hot between-tags site (skip
+            # the unescape call when no entity can be present)
+            seg = s[i:lt]
+            if "&" in seg:
+                seg = unescape(seg)
+            moved[0] = True
+            seg = seg.strip(_WS)
+            if seg:
+                tokens.append(Text(seg))
         if lt + 1 >= n:
             # lone '<' at EOF: htmlparser2 emits nothing further
             moved[0] = True
@@ -331,6 +339,9 @@ def parse(source: str) -> list:
         elif c in _ALPHA:
             m = _FAST_TAG_RE.match(s, lt)
             if m is not None:
+                # hottest branch: the emit_open / implied-closes
+                # closures are inlined (a function call per tag cost
+                # ~25% of parse wall on the crawl corpus, r6 profile)
                 name = m.group(1).lower()
                 attr_str = m.group(2)
                 if attr_str:
@@ -353,9 +364,15 @@ def parse(source: str) -> list:
                     attrs = tuple(attrs_list)
                 else:
                     attrs = ()
-                implied_closes_for_open(name)
-                push = (m.group(3) == "") and (name not in VOID_ELEMENTS)
-                emit_open(name, attrs, push)
+                implied = OPEN_IMPLIES_CLOSE.get(name)
+                if implied:
+                    while stack and stack[-1] in implied:
+                        tokens.append(TagClose(stack.pop()))
+                        moved[0] = True
+                tokens.append(TagOpen(name, attrs))
+                moved[0] = False
+                if m.group(3) == "" and name not in VOID_ELEMENTS:
+                    stack.append(name)
                 i = m.end()
             else:
                 i = _parse_tag(
