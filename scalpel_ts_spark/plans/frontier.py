@@ -778,16 +778,16 @@ class CrawlEngine:
         if self._frontier_rows is None:
             self._frontier_rows = frontier.count()
         cores = self.spark.sparkContext.defaultParallelism
-        max_par = cores * 2
         expected = min(self._frontier_rows, self.cap * self.n_hosts)
-        par = max(1, min(max_par, -(-expected // 2048)))
-        if par > cores:
-            # wave-even task count: 51 tasks on 32 cores is a full
-            # wave plus a 19-task straggler wave with 13 cores idle —
-            # rounding to a multiple of the core count keeps every
-            # wave full at the same total row volume (r6 profile:
-            # the round-3 fetch stage ran 50 tasks on 32 cores)
-            par = min(max_par, cores * (-(-par // cores)))
+        # cap at ONE task per core: each Python-stage task pays a
+        # measured ~140ms runner-init latency (JVM->worker handshake,
+        # warm reused workers — r6 stack-sampled), so a 43- or 64-task
+        # stage on 32 cores costs two init waves where one suffices;
+        # per-task row volume stays balanced by the (host, url_hash)
+        # repartition keys, and a production fetch stage with genuine
+        # per-host latency variance would raise this back via
+        # defaultParallelism on a bigger cluster
+        par = max(1, min(cores, -(-expected // 2048)))
         has_err = False
         if self.fetch_stage is not None:
             # no pre-repartition: a grouped fetch stage (http_fetch_
