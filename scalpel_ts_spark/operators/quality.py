@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from scalpel_ts_spark.functions import text as T
+from scalpel_ts_spark.operators.spread import spread_small
 
 
 def quality_stats(docs: DataFrame, id_col: str = "doc_id",
@@ -74,7 +75,10 @@ def top_ngram_repetition(docs: DataFrame, id_col: str = "doc_id",
     document bounds a task at its *distinct-gram* count, not its
     length.
     """
-    grams = docs.select(
+    # the n-gram explode + partial aggregate cost per ROW, but a small
+    # single-row-group scan is one task — spread it (size-gated no-op
+    # at scale; operators/spread.py)
+    grams = spread_small(docs, id_col).select(
         F.col(id_col),
         F.explode(T.word_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -114,6 +118,11 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
+    # NOT spread: unlike top_ngram_repetition, the gram stream here is
+    # immediately reduced by the broadcast join + per-doc count, and a
+    # pre-explode repartition measurably LOST (0.21 -> 0.29 s at
+    # sf0.1: it ships document text where the status quo ships
+    # post-join counts)
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(T.word_shingles(F.col(text_col), n)).alias("gram"),

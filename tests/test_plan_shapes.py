@@ -191,7 +191,15 @@ def test_repetition_topgram_is_two_partial_aggs(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") == 2
+    # Exchange count depends on the spread_small size gate
+    # (operators/spread.py): when it fires (small input), the
+    # repartition is keyed by doc_id — a prefix of BOTH grouping keys
+    # — so the two aggregations reuse that single exchange and run
+    # partition-locally (1 Exchange total); at scale the gate is a
+    # no-op and the classic two aggregation exchanges appear.  Either
+    # way both aggregates keep their map-side partials and no third
+    # shape is acceptable.
+    assert 1 <= plan.count("Exchange") <= 2
     assert plan.count("HashAggregate") == 4  # partial+final, twice
     assert "Generate explode" in plan
     for python_marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
