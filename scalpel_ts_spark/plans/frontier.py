@@ -693,6 +693,32 @@ class CrawlEngine:
         # set is one bounded task and the salt phase is a pure extra
         # exchange + window pass; past it (or untracked) the salted
         # skew-safe shape engages — both shapes are row-identical.
+        # the frontier row count is tracked arithmetically
+        # (rows' = rows - fetched + new); the first round after
+        # init/resume pays one parquet-metadata count
+        if self._frontier_rows is None:
+            self._frontier_rows = frontier.count()
+        single_phase_sel = self._frontier_rows <= 2_000_000
+        # fetch-stage parallelism, derived from the round's expected
+        # fetch volume (~2k rows/task), capped at ONE task per core:
+        # each Python-stage task pays a measured ~140ms runner-init
+        # latency (JVM->worker handshake, warm reused workers — r6
+        # stack-sampled), so two task waves cost two init waves where
+        # one suffices.  A production fetch stage with per-host
+        # latency variance raises this through defaultParallelism on
+        # a bigger cluster.
+        cores = self.spark.sparkContext.defaultParallelism
+        expected = min(self._frontier_rows, self.cap * self.n_hosts)
+        par = max(1, min(cores, -(-expected // 2048)))
+        if single_phase_sel and self.fetch_stage is None:
+            # pre-key the selection exchange at the fetch stage's own
+            # partitioning: the single-phase window reuses it (same
+            # host_id clustering), and the fused fetch UDF then runs
+            # IN the window's stage — no separate candidate
+            # repartition, one exchange fewer per round.  Balance:
+            # a host's selected rows are capped at `cap`, so host
+            # keying bounds any task at cap x (hosts/par) rows.
+            budgeted = budgeted.repartition(par, "host_id")
         candidates = topk_per_group(
             budgeted,
             group_cols=["host_id"],
@@ -700,10 +726,7 @@ class CrawlEngine:
             k=F.col("tokens"),
             salt_buckets=self.salt_buckets,
             prune_k=self.cap,
-            single_phase=(
-                self._frontier_rows is not None
-                and self._frontier_rows <= 2_000_000
-            ),
+            single_phase=single_phase_sel,
         ).drop("tokens")
 
         # 2b. robots-before-first-fetch (production path only; round-3
@@ -764,30 +787,12 @@ class CrawlEngine:
             ).select("url_hash")
 
         # 3. fetch + single-parse extraction (spans, links, title).
-        # Explicit repartition first: AQE sizes partitions by shuffle
-        # BYTES, but fetch/parse cost is per ROW (and the UDF's output
-        # is ~10x its input) — without this the whole Python stage can
-        # coalesce onto a handful of tasks.  Keyed by (host, url) so a
-        # production async-HTTP fetcher still sees host-batched rows.
-        # Task count adapts to the round's expected fetch volume
-        # (~2k rows per task): a 5k-URL warm-up round should not spawn
-        # 64 Python workers, and a 10^10-URL frontier still caps at
-        # 2x cores.  The frontier row count is tracked arithmetically
-        # (rows' = rows - fetched + new); the first round after
-        # init/resume pays one parquet-metadata count.
-        if self._frontier_rows is None:
-            self._frontier_rows = frontier.count()
-        cores = self.spark.sparkContext.defaultParallelism
-        expected = min(self._frontier_rows, self.cap * self.n_hosts)
-        # cap at ONE task per core: each Python-stage task pays a
-        # measured ~140ms runner-init latency (JVM->worker handshake,
-        # warm reused workers — r6 stack-sampled), so a 43- or 64-task
-        # stage on 32 cores costs two init waves where one suffices;
-        # per-task row volume stays balanced by the (host, url_hash)
-        # repartition keys, and a production fetch stage with genuine
-        # per-host latency variance would raise this back via
-        # defaultParallelism on a bigger cluster
-        par = max(1, min(cores, -(-expected // 2048)))
+        # The Python stage needs explicit ROW-based partitioning (AQE
+        # sizes by bytes; fetch/parse cost is per row and the UDF's
+        # output is ~10x its input).  `par` was derived before the
+        # selection; on the single-phase path the selection exchange
+        # already established it, so the fused UDF rides the window's
+        # stage with no further repartition.
         has_err = False
         if self.fetch_stage is not None:
             # no pre-repartition: a grouped fetch stage (http_fetch_
@@ -826,9 +831,16 @@ class CrawlEngine:
             has_status = False
             keep_cols = list(candidates.columns)
             n_hosts = self.n_hosts
-            extracted = candidates.repartition(
-                par, "host_id", "url_hash"
-            ).withColumn(
+            if single_phase_sel:
+                # the selection exchange was pre-keyed at (par,
+                # host_id) and the single-phase window reused it, so
+                # the candidate batch is already row-balanced on `par`
+                # partitions — the fused UDF runs in the window's
+                # stage, no second exchange
+                spread = candidates
+            else:
+                spread = candidates.repartition(par, "host_id", "url_hash")
+            extracted = spread.withColumn(
                 "ex",
                 fused_fetch_extract_udf(
                     lambda u: html_for_url(u, n_hosts)
